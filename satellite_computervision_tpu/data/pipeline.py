@@ -1,0 +1,238 @@
+"""TFRecord chip datasets with fused on-device preprocessing.
+
+Reference pipeline: parse_tfrecord -> to_tuple (derived bands, one-hot,
+stack HWC, color aug, rescale, morph aug, split) -> shuffle/batch/repeat
+(utils/processing.py:335-454). The reference runs to_tuple per example on
+host CPU threads; here parsing stays host-side but everything numeric runs
+as ONE jitted, vmapped XLA program on already-batched device arrays — the
+fused preprocessing path of BASELINE.json's north star.
+
+Layout: host threads read + parse TFRecords into pinned NumPy batches; a
+double-buffered prefetcher overlaps `jax.device_put` + preprocess with the
+train step (the tf.data `num_parallel_calls=5` equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import random
+import threading
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from satellite_computervision_tpu.data.tfrecord import TFRecordReader, parse_example
+from satellite_computervision_tpu.ops.augment import aug_color, aug_morph
+from satellite_computervision_tpu.ops.bands import calc_ndvi
+from satellite_computervision_tpu.ops.classes import one_hot as one_hot_encode
+from satellite_computervision_tpu.ops.normalize import normalize_image, rescale_image
+
+
+class ChipDataset:
+    """Iterates (K, K)-shaped feature dicts from EE-exported TFRecords.
+
+    ``feature_names`` lists every band stored per example (features +
+    response, the EE export schema of fixed-length float lists,
+    utils/processing.py:394-419); each is reshaped to ``(kernel, kernel)``.
+    """
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        feature_names: Sequence[str],
+        kernel_size: int = 256,
+        compression: Optional[str] = "GZIP",
+    ):
+        self.files = list(files)
+        self.feature_names = list(feature_names)
+        self.kernel_size = kernel_size
+        self.compression = compression
+
+    def __iter__(self):
+        k = self.kernel_size
+        for path in self.files:
+            with TFRecordReader(path, self.compression) as reader:
+                for record in reader:
+                    parsed = parse_example(record)
+                    yield {
+                        name: np.asarray(parsed[name], np.float32).reshape(k, k)
+                        for name in self.feature_names
+                    }
+
+
+def make_preprocess_fn(
+    features: Sequence[str],
+    response: str,
+    axes: Sequence[int] = (2,),
+    splits=None,
+    moments=None,
+    one_hot: Optional[Dict[str, int]] = None,
+    response_depth: Optional[int] = None,
+    derived: Optional[Dict[str, Callable]] = None,
+    augment: bool = True,
+) -> Callable:
+    """Build the jitted batch-preprocess: dict of (B, K, K) bands -> (x, y).
+
+    Mirrors to_tuple (utils/processing.py:335-392) element-for-element:
+    derived bands, one-hot response (``response_depth``) or expand-dims,
+    continuous band stack -> color aug -> rescale, concat one-hot feature
+    bands + response, joint morph aug, split, clip labels to <= 1.
+    ``augment=False`` drops both random augs (the reference's to_tuple
+    augments eval batches too — opt back in by leaving it True).
+    """
+    one_hot = one_hot or {}
+    derived = derived or {}
+    continuous = [f for f in features if f not in one_hot]
+
+    @functools.partial(jax.jit, static_argnames=("train",))
+    def preprocess(batch: Dict[str, jnp.ndarray], key, train: bool = True):
+        batch = dict(batch)
+        for name, fn in derived.items():
+            batch[name] = fn(batch)
+
+        if response_depth is not None:
+            res = one_hot_encode(batch[response], response_depth)
+        else:
+            res = batch[response][..., None]
+
+        bands = jnp.stack([batch[f] for f in continuous], axis=-1)  # (B,K,K,C)
+        bsz = bands.shape[0]
+        keys = jax.random.split(key, bsz * 2).reshape(bsz, 2)
+
+        if augment and train:
+            bands = jax.vmap(aug_color)(keys[:, 0], bands)
+        bands = jax.vmap(
+            lambda b: rescale_image(b, axes=axes, moments=moments, splits=splits)
+        )(bands)
+
+        pieces = [bands]
+        for name, depth in one_hot.items():
+            if name in features:
+                pieces.append(one_hot_encode(batch[name], depth))
+        pieces.append(res)
+        stacked = jnp.concatenate(pieces, axis=-1)
+
+        if augment and train:
+            stacked = jax.vmap(aug_morph)(keys[:, 1], stacked)
+
+        n_res = res.shape[-1]
+        feats = stacked[..., :-n_res]
+        labels = jnp.minimum(stacked[..., -n_res:], 1.0)
+        return feats, labels
+
+    return preprocess
+
+
+def _batched(iterator, batch_size: int, feature_names):
+    buf = []
+    for ex in iterator:
+        buf.append(ex)
+        if len(buf) == batch_size:
+            yield {
+                name: np.stack([b[name] for b in buf]) for name in feature_names
+            }
+            buf = []
+
+
+def _shuffled(iterator, buffer_size: int, rng: random.Random):
+    """Reservoir-style shuffle buffer (tf.data .shuffle equivalent)."""
+    buf = []
+    for ex in iterator:
+        buf.append(ex)
+        if len(buf) >= buffer_size:
+            i = rng.randrange(len(buf))
+            buf[i], buf[-1] = buf[-1], buf[i]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
+def prefetch_to_device(iterator, size: int = 2, device=None):
+    """Background-thread prefetcher: overlaps host IO/parse + H2D transfer
+    with device compute (double-buffered for ``size=2``)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item, device))
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+class TrainIterator:
+    """Shuffled, batched, optionally repeating device-batch stream.
+
+    Equivalent of get_training_dataset (utils/processing.py:421-441):
+    shuffle(buffer) -> batch(batch_size) -> repeat.
+    """
+
+    def __init__(
+        self,
+        dataset: ChipDataset,
+        batch_size: int = 16,
+        shuffle_buffer: int = 1024,
+        repeat: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle_buffer = shuffle_buffer
+        self.repeat = repeat
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def _epochs(self):
+        epoch = 0
+        while True:
+            rng = random.Random(self.seed + epoch)
+            it = iter(self.dataset)
+            if self.shuffle_buffer > 1:
+                it = _shuffled(it, self.shuffle_buffer, rng)
+            yield from _batched(it, self.batch_size, self.dataset.feature_names)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def __iter__(self):
+        return prefetch_to_device(self._epochs(), self.prefetch)
+
+
+def get_training_dataset(
+    files,
+    feature_names,
+    kernel_size: int = 256,
+    batch_size: int = 16,
+    shuffle_buffer: int = 1024,
+    repeat: bool = True,
+    seed: int = 0,
+    compression: Optional[str] = "GZIP",
+) -> TrainIterator:
+    ds = ChipDataset(files, feature_names, kernel_size, compression)
+    return TrainIterator(ds, batch_size, shuffle_buffer, repeat, seed)
+
+
+def get_eval_dataset(
+    files,
+    feature_names,
+    kernel_size: int = 256,
+    batch_size: int = 1,
+    compression: Optional[str] = "GZIP",
+) -> TrainIterator:
+    """Unshuffled, single-pass (utils/processing.py:443-454 batches eval at 1)."""
+    ds = ChipDataset(files, feature_names, kernel_size, compression)
+    return TrainIterator(ds, batch_size, shuffle_buffer=0, repeat=False)

@@ -1,0 +1,431 @@
+"""Minimal-but-real GeoTIFF / Cloud-Optimized GeoTIFF codec in pure Python.
+
+rasterio and GDAL are not available in this environment, so the writers the
+reference delegates to them (numpy_to_raster / arrays_to_cog,
+utils/raster_tools.py:367-461; rio.open GTiff writes,
+utils/prediction_tools.py:447-536) are implemented directly against the
+TIFF 6.0 + GeoTIFF 1.1 specs:
+
+- classic little-endian TIFF, striped or tiled layout,
+- float32/float64/uint8/uint16/int16/int32 samples, pixel-interleaved,
+- optional DEFLATE (zlib) compression,
+- georeferencing via ModelPixelScale + ModelTiepoint (or a full
+  ModelTransformation when the affine has shear), GeoKey directory with
+  EPSG projected/geographic CRS codes, GDAL_NODATA,
+- COG writer: 256x256 tiles + power-of-two mean-pooled overview IFDs.
+
+The reader parses the same subset back (enough for round-trip tests and
+chip loading from our own exports).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_NEW_SUBFILE_TYPE = 254
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_MODEL_TRANSFORMATION = 34264
+_GEO_KEY_DIRECTORY = 34735
+_GEO_ASCII_PARAMS = 34737
+_GDAL_NODATA = 42113
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_ASCII = 2
+_TYPE_DOUBLE = 12
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+_SAMPLE_FORMATS = {
+    np.dtype("uint8"): 1,
+    np.dtype("uint16"): 1,
+    np.dtype("uint32"): 1,
+    np.dtype("int16"): 2,
+    np.dtype("int32"): 2,
+    np.dtype("float32"): 3,
+    np.dtype("float64"): 3,
+}
+
+
+def _epsg_from_crs(crs: str) -> Optional[int]:
+    if not crs:
+        return None
+    crs = crs.strip().upper()
+    if crs.startswith("EPSG:"):
+        return int(crs.split(":")[1])
+    if crs.isdigit():
+        return int(crs)
+    return None
+
+
+def _geokeys(crs: str):
+    """Build the GeoKeyDirectory shorts + ascii params for a CRS string."""
+    epsg = _epsg_from_crs(crs)
+    keys = []  # (key, tag_location, count, value)
+    ascii_params = (crs + "|") if crs else ""
+    if epsg is None:
+        model_type = 0
+    elif 4000 <= epsg < 5000:  # geographic
+        model_type = 2
+        keys.append((2048, 0, 1, epsg))
+    else:  # projected
+        model_type = 1
+        keys.append((3072, 0, 1, epsg))
+    header_keys = [(1024, 0, 1, model_type), (1025, 0, 1, 1)]  # area pixels
+    if ascii_params:
+        header_keys.append((1026, _GEO_ASCII_PARAMS, len(ascii_params), 0))
+    all_keys = header_keys + keys
+    directory = [1, 1, 1, len(all_keys)]
+    for k in sorted(all_keys):
+        directory.extend(k)
+    return directory, ascii_params
+
+
+class _IFDBuilder:
+    """Accumulates (tag, type, values) entries and out-of-line data."""
+
+    def __init__(self):
+        self.entries = []
+
+    def add(self, tag, type_, values):
+        if isinstance(values, (int, float)):
+            values = [values]
+        self.entries.append((tag, type_, values))
+
+    def add_ascii(self, tag, text: str):
+        data = text.encode("ascii") + b"\x00"
+        self.entries.append((tag, _TYPE_ASCII, data))
+
+    def serialize(self, ifd_offset: int, next_ifd: int = 0):
+        """Return (ifd_bytes, outline_bytes); outline data is placed
+        immediately after the IFD."""
+        n = len(self.entries)
+        outline_offset = ifd_offset + 2 + n * 12 + 4
+        ifd = struct.pack("<H", n)
+        outline = b""
+        fmt = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d", 11: "<f"}
+        for tag, type_, values in sorted(self.entries):
+            if type_ == _TYPE_ASCII:
+                raw = bytes(values)
+                count = len(raw)
+            else:
+                raw = b"".join(struct.pack(fmt[type_], v) for v in values)
+                count = len(values)
+            if len(raw) <= 4:
+                value_field = raw + b"\x00" * (4 - len(raw))
+            else:
+                value_field = struct.pack("<I", outline_offset + len(outline))
+                outline += raw
+                if len(outline) % 2:
+                    outline += b"\x00"
+            ifd += struct.pack("<HHI", tag, type_, count) + value_field
+        ifd += struct.pack("<I", next_ifd)
+        return ifd, outline
+
+
+def _page_ifd(
+    image: np.ndarray,
+    data_offset: int,
+    ifd_offset: int,
+    transform: Optional[Sequence[float]],
+    crs: str,
+    nodata,
+    compress: bool,
+    tile_size: Optional[int],
+    subfile_type: Optional[int] = None,
+):
+    """Build one TIFF page (IFD + pixel data) for an (H, W, C) array."""
+    h, w, c = image.shape
+    dtype = image.dtype
+    bits = dtype.itemsize * 8
+    sample_format = _SAMPLE_FORMATS[dtype]
+
+    chunks = []
+    if tile_size:
+        ts = tile_size
+        for ty in range(0, h, ts):
+            for tx in range(0, w, ts):
+                tile = np.zeros((ts, ts, c), dtype)
+                sub = image[ty : ty + ts, tx : tx + ts]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(tile.tobytes())
+    else:
+        rows_per_strip = max(1, 8192 // max(1, w * c * dtype.itemsize))
+        for y in range(0, h, rows_per_strip):
+            chunks.append(image[y : y + rows_per_strip].tobytes())
+
+    if compress:
+        chunks = [zlib.compress(chunk, 6) for chunk in chunks]
+
+    offsets, counts = [], []
+    pos = data_offset
+    for chunk in chunks:
+        offsets.append(pos)
+        counts.append(len(chunk))
+        pos += len(chunk) + (len(chunk) % 2)
+
+    b = _IFDBuilder()
+    if subfile_type is not None:
+        b.add(_NEW_SUBFILE_TYPE, _TYPE_LONG, subfile_type)
+    b.add(_IMAGE_WIDTH, _TYPE_LONG, w)
+    b.add(_IMAGE_LENGTH, _TYPE_LONG, h)
+    b.add(_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * c)
+    b.add(_COMPRESSION, _TYPE_SHORT, 8 if compress else 1)
+    b.add(_PHOTOMETRIC, _TYPE_SHORT, 1)
+    b.add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, c)
+    b.add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
+    b.add(_SAMPLE_FORMAT, _TYPE_SHORT, [sample_format] * c)
+    if tile_size:
+        b.add(_TILE_WIDTH, _TYPE_LONG, tile_size)
+        b.add(_TILE_LENGTH, _TYPE_LONG, tile_size)
+        b.add(_TILE_OFFSETS, _TYPE_LONG, offsets)
+        b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, counts)
+    else:
+        b.add(_ROWS_PER_STRIP, _TYPE_LONG, rows_per_strip)
+        b.add(_STRIP_OFFSETS, _TYPE_LONG, offsets)
+        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, counts)
+
+    if transform is not None:
+        a, bshear, tx, dshear, e, ty = transform
+        if bshear == 0 and dshear == 0:
+            b.add(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [a, abs(e), 0.0])
+            b.add(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0, 0, 0, tx, ty, 0])
+        else:
+            b.add(
+                _MODEL_TRANSFORMATION,
+                _TYPE_DOUBLE,
+                [a, bshear, 0, tx, dshear, e, 0, ty, 0, 0, 0, 0, 0, 0, 0, 1],
+            )
+    if crs or transform is not None:
+        directory, ascii_params = _geokeys(crs)
+        b.add(_GEO_KEY_DIRECTORY, _TYPE_SHORT, directory)
+        if ascii_params:
+            b.add_ascii(_GEO_ASCII_PARAMS, ascii_params)
+    if nodata is not None:
+        b.add_ascii(_GDAL_NODATA, str(nodata))
+
+    return b, chunks, offsets, counts
+
+
+def _write_pages(path, pages):
+    """pages: list of (image, transform, crs, nodata, compress, tile_size,
+    subfile_type)."""
+    with open(path, "wb") as f:
+        f.write(b"II*\x00")
+        f.write(struct.pack("<I", 8))
+        pos = 8
+        for i, (image, transform, crs, nodata, compress, tile_size, subfile) in enumerate(
+            pages
+        ):
+            # Two-pass per page: measure IFD size, then emit IFD + data.
+            probe, _, _, _ = _page_ifd(
+                image, 0, pos, transform, crs, nodata, compress, tile_size, subfile
+            )
+            probe_bytes, probe_outline = probe.serialize(pos)
+            data_offset = pos + len(probe_bytes) + len(probe_outline)
+            builder, chunks, offsets, _ = _page_ifd(
+                image, data_offset, pos, transform, crs, nodata, compress, tile_size, subfile
+            )
+            data_size = (offsets[-1] + len(chunks[-1]) + (len(chunks[-1]) % 2)) - data_offset
+            next_ifd = 0 if i == len(pages) - 1 else data_offset + data_size
+            ifd_bytes, outline = builder.serialize(pos, next_ifd)
+            assert len(ifd_bytes) == len(probe_bytes) and len(outline) == len(probe_outline)
+            f.write(ifd_bytes)
+            f.write(outline)
+            for chunk in chunks:
+                f.write(chunk)
+                if len(chunk) % 2:
+                    f.write(b"\x00")
+            pos = next_ifd
+
+
+def _as_hwc(image: np.ndarray) -> np.ndarray:
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = image[..., None]
+    if image.dtype not in _SAMPLE_FORMATS:
+        image = image.astype(np.float32)
+    return np.ascontiguousarray(image)
+
+
+def write_geotiff(
+    path: str,
+    image: np.ndarray,
+    transform: Optional[Sequence[float]] = None,
+    crs: str = "",
+    nodata=None,
+    compress: bool = True,
+) -> None:
+    """Write an (H, W[, C]) array as a striped GeoTIFF.
+
+    ``transform`` is the EE/GDAL-style affine row-major 2x3:
+    (xscale, xshear, xtrans, yshear, yscale, ytrans)
+    (utils/prediction_tools.py:450-455).
+    """
+    image = _as_hwc(image)
+    _write_pages(path, [(image, transform, crs, nodata, compress, None, None)])
+
+
+def write_cog(
+    path: str,
+    image: np.ndarray,
+    transform: Optional[Sequence[float]] = None,
+    crs: str = "",
+    nodata=None,
+    tile_size: int = 256,
+    overview_levels: Optional[int] = None,
+    compress: bool = True,
+) -> None:
+    """Write a Cloud-Optimized GeoTIFF: tiled base page + mean-pooled
+    overview pages (the gdal.Translate COG path of
+    utils/raster_tools.py:400-409)."""
+    image = _as_hwc(image)
+    pages = [(image, transform, crs, nodata, compress, tile_size, None)]
+    level = image
+    n_levels = overview_levels
+    if n_levels is None:
+        n_levels = 0
+        m = max(image.shape[0], image.shape[1])
+        while m > tile_size:
+            m //= 2
+            n_levels += 1
+    scale = transform
+    for _ in range(n_levels):
+        h, w, c = level.shape
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        pooled = level[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, c)
+        if np.issubdtype(level.dtype, np.floating):
+            level = pooled.mean(axis=(1, 3)).astype(level.dtype)
+        else:
+            level = pooled[:, 0, :, 0]
+        if scale is not None:
+            a, b, tx, d, e, ty = scale
+            scale = (a * 2, b, tx, d, e * 2, ty)
+        pages.append((level, scale, crs, nodata, compress, tile_size, 1))
+        if min(level.shape[:2]) <= 1:
+            break
+    _write_pages(path, pages)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def read_geotiff(path: str, page: int = 0):
+    """Read an (H, W, C) array + metadata dict from a GeoTIFF written by
+    this module (and simple single-plane TIFFs generally)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:4] not in (b"II*\x00",):
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_offset,) = struct.unpack_from("<I", blob, 4)
+    for _ in range(page):
+        (count,) = struct.unpack_from("<H", blob, ifd_offset)
+        (ifd_offset,) = struct.unpack_from("<I", blob, ifd_offset + 2 + count * 12)
+        if ifd_offset == 0:
+            raise IndexError("page out of range")
+
+    (count,) = struct.unpack_from("<H", blob, ifd_offset)
+    tags = {}
+    for i in range(count):
+        tag, type_, n = struct.unpack_from("<HHI", blob, ifd_offset + 2 + i * 12)
+        value_off = ifd_offset + 2 + i * 12 + 8
+        size = _TYPE_SIZES[type_] * n
+        if size > 4:
+            (data_off,) = struct.unpack_from("<I", blob, value_off)
+        else:
+            data_off = value_off
+        if type_ == _TYPE_ASCII:
+            tags[tag] = blob[data_off : data_off + n].rstrip(b"\x00").decode("ascii")
+        else:
+            fmt = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B"}[type_]
+            tags[tag] = [
+                struct.unpack_from(fmt, blob, data_off + j * _TYPE_SIZES[type_])[0]
+                for j in range(n)
+            ]
+
+    w = tags[_IMAGE_WIDTH][0]
+    h = tags[_IMAGE_LENGTH][0]
+    c = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags[_BITS_PER_SAMPLE][0]
+    sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
+    compression = tags.get(_COMPRESSION, [1])[0]
+    dtype = {
+        (1, 8): np.uint8,
+        (1, 16): np.uint16,
+        (1, 32): np.uint32,
+        (2, 16): np.int16,
+        (2, 32): np.int32,
+        (3, 32): np.float32,
+        (3, 64): np.float64,
+    }[(sample_format, bits)]
+
+    def decode(off, n_bytes):
+        raw = blob[off : off + n_bytes]
+        return zlib.decompress(raw) if compression == 8 else raw
+
+    out = np.zeros((h, w, c), dtype)
+    if _TILE_OFFSETS in tags:
+        ts = tags[_TILE_WIDTH][0]
+        offsets = tags[_TILE_OFFSETS]
+        counts = tags[_TILE_BYTE_COUNTS]
+        i = 0
+        for ty in range(0, h, ts):
+            for tx in range(0, w, ts):
+                raw = decode(offsets[i], counts[i])
+                tile = np.frombuffer(raw, dtype).reshape(ts, ts, c)
+                out[ty : ty + ts, tx : tx + ts] = tile[
+                    : min(ts, h - ty), : min(ts, w - tx)
+                ]
+                i += 1
+    else:
+        rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_BYTE_COUNTS]
+        y = 0
+        for off, cnt in zip(offsets, counts):
+            raw = decode(off, cnt)
+            rows = min(rows_per_strip, h - y)
+            out[y : y + rows] = np.frombuffer(raw, dtype).reshape(rows, w, c)
+            y += rows
+
+    meta = {}
+    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
+        sx, sy, _ = tags[_MODEL_PIXEL_SCALE]
+        tp = tags[_MODEL_TIEPOINT]
+        meta["transform"] = (sx, 0.0, tp[3], 0.0, -sy, tp[4])
+    elif _MODEL_TRANSFORMATION in tags:
+        m = tags[_MODEL_TRANSFORMATION]
+        meta["transform"] = (m[0], m[1], m[3], m[4], m[5], m[7])
+    if _GEO_ASCII_PARAMS in tags:
+        meta["crs"] = tags[_GEO_ASCII_PARAMS].rstrip("|")
+    elif _GEO_KEY_DIRECTORY in tags:
+        d = tags[_GEO_KEY_DIRECTORY]
+        for j in range(4, len(d), 4):  # scan keys for an EPSG code
+            if d[j] in (2048, 3072):
+                meta["crs"] = f"EPSG:{d[j + 3]}"
+    if _GDAL_NODATA in tags:
+        meta["nodata"] = float(tags[_GDAL_NODATA])
+    return out, meta

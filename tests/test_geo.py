@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.geo import (
+    Affine,
+    array_bounds,
+    convert_poly_coords,
+    convert_yolo_bbox,
+    geo_to_pixel,
+    make_window,
+    pixel_to_geo,
+    read_geotiff,
+    write_cog,
+    write_geotiff,
+)
+from satellite_computervision_tpu.geo.transforms import polygon_centroid
+
+
+TRANSFORM = (10.0, 0.0, 500000.0, 0.0, -10.0, 4500000.0)  # 10 m UTM-style
+
+
+def test_geotiff_roundtrip_float(tmp_path, rng):
+    img = rng.normal(size=(50, 40, 2)).astype(np.float32)
+    path = str(tmp_path / "pred.tif")
+    write_geotiff(path, img, transform=TRANSFORM, crs="EPSG:32617", nodata=255)
+    back, meta = read_geotiff(path)
+    np.testing.assert_array_equal(back, img)
+    assert meta["transform"] == TRANSFORM
+    assert "32617" in meta["crs"]
+    assert meta["nodata"] == 255.0
+
+
+def test_geotiff_uncompressed_uint8(tmp_path, rng):
+    img = rng.integers(0, 255, (33, 21), np.uint8)
+    path = str(tmp_path / "x.tif")
+    write_geotiff(path, img, compress=False)
+    back, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back[..., 0], img)
+
+
+def test_cog_tiled_with_overviews(tmp_path, rng):
+    img = rng.normal(size=(300, 280, 1)).astype(np.float32)
+    path = str(tmp_path / "c.tif")
+    write_cog(path, img, transform=TRANSFORM, crs="EPSG:32617", tile_size=128)
+    base, meta = read_geotiff(path, page=0)
+    np.testing.assert_array_equal(base, img)
+    over, over_meta = read_geotiff(path, page=1)
+    assert over.shape[0] == 150
+    # overview pixel scale doubles
+    assert over_meta["transform"][0] == 20.0
+    np.testing.assert_allclose(
+        over[0, 0, 0], img[:2, :2, 0].mean(), rtol=1e-5
+    )
+
+
+def test_affine_inverse_roundtrip():
+    t = Affine(10.0, 0.5, 100.0, -0.2, -10.0, 2000.0)
+    x, y = t(13, 27)
+    col, row = t.inverse()(x, y)
+    np.testing.assert_allclose([col, row], [13, 27], atol=1e-9)
+
+
+def test_pixel_geo_roundtrip():
+    cols = np.array([0, 10, 256])
+    rows = np.array([0, 5, 256])
+    xs, ys = pixel_to_geo(TRANSFORM, cols, rows)
+    c2, r2 = geo_to_pixel(TRANSFORM, xs, ys)
+    np.testing.assert_allclose(c2, cols, atol=1e-9)
+    np.testing.assert_allclose(r2, rows, atol=1e-9)
+
+
+def test_convert_poly_coords_inverse():
+    poly = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    geo = convert_poly_coords(poly, TRANSFORM)
+    back = convert_poly_coords(geo, TRANSFORM, inverse=True)
+    np.testing.assert_allclose(back, poly, atol=1e-9)
+
+
+def test_yolo_bbox():
+    x, y, w, h = convert_yolo_bbox((10, 30, 20, 60), (100, 200))
+    assert (x, y, w, h) == (0.2, 0.2, 0.2, 0.2)
+
+
+def test_array_bounds():
+    left, bottom, right, top = array_bounds(100, 200, TRANSFORM)
+    assert left == 500000.0 and top == 4500000.0
+    assert right == 500000.0 + 200 * 10
+    assert bottom == 4500000.0 - 100 * 10
+
+
+def test_polygon_centroid_square():
+    sq = [[0, 0], [2, 0], [2, 2], [0, 2]]
+    np.testing.assert_allclose(polygon_centroid(sq), (1.0, 1.0))
+
+
+def test_make_window():
+    assert make_window(100, 60, 50) == (75, 35, 50, 50)

@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.inference import (
+    MixerInfo,
+    TiledInferenceEngine,
+    reassemble_patches,
+    write_tfrecord_predictions,
+)
+from satellite_computervision_tpu.inference.mixer import read_mixer, write_mixer
+from satellite_computervision_tpu.data.tfrecord import read_tfrecord_file
+
+
+def _mean_model(chips):
+    """Toy 'model': per-pixel mean over input channels, keepdims."""
+    return chips.mean(axis=-1, keepdims=True)
+
+
+def test_engine_matches_reference_loop(rng):
+    """The fused engine must produce exactly what the reference's per-chip
+    batch-1 loop produces (utils/prediction_tools.py:133-156) given the
+    same model and reference-mode indices."""
+    scene = rng.normal(size=(700, 650, 3)).astype(np.float32)
+    k, b = 128, 64
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=k, buffer=b, batch_size=4, out_channels=1,
+        blend="sum", index_mode="reference",
+    )
+    got = np.asarray(engine.predict_scene(scene))
+
+    half = b // 2
+    template = np.zeros((700, 650), np.float32)
+    side = k + b
+    ys = list(range(half, 700 - side, k))
+    xs = list(range(half, 650 - side, k))
+    for y in ys:
+        for x in xs:
+            chip = scene[y - half : y + k + half, x - half : x + k + half, :]
+            pred = chip.mean(-1)
+            template[y : y + k, x : x + k] += pred[half : half + k, half : half + k]
+    np.testing.assert_allclose(got[..., 0], template, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_cover_mode_full_interior(rng):
+    scene = rng.normal(size=(400, 400, 2)).astype(np.float32)
+    k, b = 64, 32
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=k, buffer=b, batch_size=8, out_channels=1, blend="overwrite"
+    )
+    got = np.asarray(engine.predict_scene(scene))
+    half = b // 2
+    want = scene.mean(-1, keepdims=True)
+    np.testing.assert_allclose(got[half:-half, half:-half], want[half:-half, half:-half], rtol=1e-5)
+
+
+def test_engine_hann_blend_identity(rng):
+    scene = rng.normal(size=(320, 320, 1)).astype(np.float32)
+    k, b = 64, 32
+    engine = TiledInferenceEngine(
+        lambda c: c, kernel=k, buffer=b, batch_size=4, out_channels=1, blend="hann"
+    )
+    got = np.asarray(engine.predict_scene(scene))
+    half = b // 2
+    np.testing.assert_allclose(
+        got[half:-half, half:-half], scene[half:-half, half:-half], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_engine_banded_streaming(rng):
+    """Banded (bounded-memory) path equals the single-shot path."""
+    scene = rng.normal(size=(512, 256, 2)).astype(np.float32)
+    k, b = 64, 32
+    kwargs = dict(kernel=k, buffer=b, batch_size=4, out_channels=1, blend="overwrite")
+    whole = np.asarray(TiledInferenceEngine(_mean_model, **kwargs).predict_scene(scene))
+    banded = np.asarray(
+        TiledInferenceEngine(_mean_model, max_rows=300, **kwargs).predict_scene(scene)
+    )
+    half = b // 2
+    np.testing.assert_allclose(
+        banded[half:-half, half:-half], whole[half:-half, half:-half], rtol=1e-5
+    )
+
+
+def test_mixer_roundtrip(tmp_path):
+    mixer = MixerInfo(
+        total_patches=6,
+        patches_per_row=3,
+        patch_dimensions=(32, 32),
+        affine=(10.0, 0.0, 1.0, 0.0, -10.0, 2.0),
+        crs="EPSG:4326",
+    )
+    path = str(tmp_path / "mixer.json")
+    write_mixer(path, mixer)
+    back = read_mixer(path)
+    assert back == mixer
+    assert back.rows == 2
+    assert back.scene_shape == (64, 96)
+
+
+def test_reassemble_patches(rng):
+    mixer = MixerInfo(6, 3, (16, 16), (1, 0, 0, 0, 1, 0), "EPSG:4326")
+    buff = (8, 8)
+    scene = rng.normal(size=(32, 48, 2)).astype(np.float32)
+    # cut buffered patches row-major from a padded scene
+    padded = np.pad(scene, ((4, 4), (4, 4), (0, 0)))
+    patches = []
+    for r in range(2):
+        for c in range(3):
+            patches.append(padded[r * 16 : r * 16 + 24, c * 16 : c * 16 + 24, :])
+    got = reassemble_patches(np.stack(patches), mixer, buff)
+    np.testing.assert_array_equal(got, scene)
+
+
+def test_reassemble_count_mismatch(rng):
+    mixer = MixerInfo(6, 3, (16, 16), (1, 0, 0, 0, 1, 0), "")
+    with pytest.raises(ValueError):
+        reassemble_patches(np.zeros((5, 16, 16, 1)), mixer, (0, 0))
+
+
+def test_write_tfrecord_predictions(tmp_path, rng):
+    preds = rng.uniform(size=(4, 24, 24, 2)).astype(np.float32)
+    path = str(tmp_path / "preds.tfrecords")
+    write_tfrecord_predictions(preds, path, kernel_shape=(16, 16), kernel_buffer=(8, 8))
+    back = read_tfrecord_file(path, compression=None)
+    assert len(back) == 4
+    assert set(back[0]) == {"b1", "b2"}
+    np.testing.assert_allclose(
+        back[0]["b1"], preds[0, 4:20, 4:20, 0].reshape(-1), rtol=1e-6
+    )

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.models import losses
+
+
+def test_weighted_bce_prob_form():
+    y_true = np.array([1.0, 0.0], np.float32)
+    y_pred = np.array([0.8, 0.3], np.float32)
+    got = float(losses.weighted_bce(y_true, y_pred, pos_weight=2.0))
+    want = np.mean([2.0 * -np.log(0.8), -np.log(0.7)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_weighted_bce_logits_matches_prob_form():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 2, (64,)).astype(np.float32)
+    y = (rng.uniform(size=(64,)) > 0.5).astype(np.float32)
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    a = float(losses.weighted_bce(y, logits, pos_weight=3.0, logits=True))
+    b = float(losses.weighted_bce(y, probs, pos_weight=3.0, logits=False))
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_weighted_bce_prob_clipping():
+    got = float(losses.weighted_bce(np.array([1.0]), np.array([0.0]), pos_weight=1.0))
+    np.testing.assert_allclose(got, -np.log(1e-5), rtol=1e-4)
+
+
+def test_iou_loss_perfect_and_disjoint():
+    t = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    assert float(losses.iou_loss(t, t)) == pytest.approx(0.0, abs=1e-6)
+    assert float(losses.iou_loss(t, 1.0 - t)) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_gen_dice_perfect_prediction():
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 3, (2, 8, 8))
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    loss = float(losses.gen_dice(onehot, onehot))
+    assert loss == pytest.approx(0.0, abs=1e-4)
+
+
+def test_gen_dice_weights_small_classes_matter():
+    """A mistake on a 1-pixel class must cost more than on a large class."""
+    labels = np.zeros((1, 8, 8), np.int64)
+    labels[0, 0, 0] = 1
+    onehot = np.eye(2, dtype=np.float32)[labels]
+    miss_small = onehot.copy()
+    miss_small[0, 0, 0] = [1.0, 0.0]  # predict background on the rare pixel
+    miss_large = onehot.copy()
+    miss_large[0, 5, 5] = [0.0, 1.0]  # predict rare class on one bg pixel
+    small_cost = float(losses.gen_dice(onehot, miss_small))
+    large_cost = float(losses.gen_dice(onehot, miss_large))
+    assert small_cost > large_cost
+
+
+def test_gen_dice_global_weights():
+    labels = np.zeros((1, 4, 4), np.int64)
+    onehot = np.eye(2, dtype=np.float32)[labels]
+    loss = float(losses.gen_dice(onehot, onehot, global_weights=[1.0, 1.0]))
+    assert loss == pytest.approx(0.0, abs=1e-5)
+
+
+def test_weighted_categorical_crossentropy():
+    t = np.array([[[[0.0, 1.0]]]], np.float32)
+    p = np.array([[[[0.2, 0.8]]]], np.float32)
+    got = np.asarray(losses.weighted_categorical_crossentropy(t, p, [1.0, 2.0]))
+    # rtol 1e-3: XLA CPU lowers log() to a vectorized approximation
+    np.testing.assert_allclose(got, [[[2.0 * -np.log(0.8)]]], rtol=1e-3)
+
+
+def test_masked_mse_ignores_nonfinite():
+    t = np.array([[1.0, np.nan], [2.0, np.inf]], np.float32).reshape(1, 2, 2, 1)
+    p = np.array([[2.0, 5.0], [4.0, 5.0]], np.float32).reshape(1, 2, 2, 1)
+    got = float(losses.masked_mse(t, p))
+    np.testing.assert_allclose(got, (1.0 + 4.0) / 2.0, rtol=1e-6)
+
+
+def test_make_loss_factory():
+    fn = losses.make_loss("weighted_bce", pos_weight=2.0)
+    assert float(fn(np.array([1.0]), np.array([0.9]))) > 0
+    with pytest.raises(KeyError):
+        losses.make_loss("nope")
