@@ -7,9 +7,15 @@ against the reference's inference pattern — one synchronous batch-1
 geometry (BASELINE.json config #1: solar U-Net, 256x256 kernel + 128
 buffer, 4-band Sentinel-2 scene) on the same device.
 
+Our pipeline is the production configuration: scenes ship to the device as
+raw uint16 DNs (half the H2D bytes of float32), normalization fuses into
+the jitted engine program, and a background thread stages scene N+1 onto
+the device while scene N computes (inference.tiles.predict_scenes). The
+reference pattern ships float32 per-chip with a host round-trip per chip.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": MPix/s (ours), "unit": "MPix/s",
-   "vs_baseline": ours / reference-pattern}
+  {"metric": ..., "value": MPix/s (ours, steady multi-scene), "unit":
+   "MPix/s", "vs_baseline": ours / reference-pattern}
 """
 
 import json
@@ -21,13 +27,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from satellite_computervision_tpu.inference import TiledInferenceEngine
-from satellite_computervision_tpu.models import UNet
-from satellite_computervision_tpu.ops.chips import generate_chip_indices
-
 KERNEL, BUFFER, BANDS = 256, 128, 4
 SCENE = 1920  # pixels per side; reference-mode grid -> 6x6 chips
-BATCH = 8
+BATCH = 36  # one forward for the whole reference grid
+N_SCENES = 6  # pipelined sweep length (multi-state workload shape)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-run compiles (minutes over
+    the TPU tunnel) amortize across processes."""
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
+from satellite_computervision_tpu.inference import TiledInferenceEngine  # noqa: E402
+from satellite_computervision_tpu.models import UNet  # noqa: E402
+from satellite_computervision_tpu.ops.chips import generate_chip_indices  # noqa: E402
 
 
 def build_model():
@@ -44,7 +61,7 @@ def build_model():
     return model, variables
 
 
-def bench_ours(model, variables, scene, repeats=3):
+def bench_ours(model, variables, scenes, repeats=3):
     predict = lambda chips: model.apply(variables, chips)["probs"]
     engine = TiledInferenceEngine(
         predict,
@@ -54,33 +71,34 @@ def bench_ours(model, variables, scene, repeats=3):
         out_channels=1,
         blend="overwrite",
         index_mode="reference",
+        preprocess_fn=lambda s: s.astype(jnp.float32) / 10000.0,
     )
-    out = engine.predict_scene(scene)  # compile + warm
-    jax.block_until_ready(out)
+    # compile + warm
+    jax.block_until_ready(engine.predict_scene(scenes[0]))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(engine.predict_scene(scene))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        for pred in engine.predict_scenes(iter(scenes)):
+            last = pred
+        jax.block_until_ready(last)
+        times.append((time.perf_counter() - t0) / len(scenes))
+    return min(times)  # seconds per scene, steady state
 
 
-def bench_reference_pattern(model, variables, scene, max_chips=8):
-    """The reference loop: batch-1 forward per chip, host transfer per chip,
-    numpy stitching. Timed over a subset of chips and extrapolated."""
+def bench_reference_pattern(model, variables, scene_u16, max_chips=8):
+    """The reference loop: batch-1 forward per chip, float32 host transfer
+    per chip, numpy stitching. Timed over a subset and extrapolated."""
     half = BUFFER // 2
-    side = KERNEL + BUFFER
-    idx = generate_chip_indices(*scene.shape[:2], KERNEL, BUFFER, mode="reference")
+    idx = generate_chip_indices(SCENE, SCENE, KERNEL, BUFFER, mode="reference")
     predict1 = jax.jit(
         lambda chip: model.apply(variables, chip[None])["probs"][0]
     )
-    scene_np = np.asarray(scene)
-    # warm the single-chip executable
-    chip = scene_np[idx[0][0] - half : idx[0][0] + KERNEL + half,
-                    idx[0][1] - half : idx[0][1] + KERNEL + half]
-    np.asarray(predict1(jnp.asarray(chip)))
+    scene_np = scene_u16.astype(np.float32) / 10000.0
+    chip0 = scene_np[idx[0][0] - half : idx[0][0] + KERNEL + half,
+                     idx[0][1] - half : idx[0][1] + KERNEL + half]
+    np.asarray(predict1(jnp.asarray(chip0)))  # warm
 
-    template = np.zeros(scene.shape[:2], np.float32)
+    template = np.zeros((SCENE, SCENE), np.float32)
     n = min(max_chips, len(idx))
     t0 = time.perf_counter()
     for y, x in idx[:n]:
@@ -94,11 +112,14 @@ def bench_reference_pattern(model, variables, scene, max_chips=8):
 
 def main():
     rng = np.random.default_rng(0)
-    scene = rng.uniform(0.0, 0.3, (SCENE, SCENE, BANDS)).astype(np.float32)
+    scenes = [
+        rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
+        for _ in range(N_SCENES)
+    ]
     model, variables = build_model()
 
-    ours_s = bench_ours(model, variables, scene)
-    ref_s = bench_reference_pattern(model, variables, scene)
+    ours_s = bench_ours(model, variables, scenes)
+    ref_s = bench_reference_pattern(model, variables, scenes[0])
 
     mpix = SCENE * SCENE / 1e6
     ours = mpix / ours_s
@@ -107,7 +128,8 @@ def main():
         json.dumps(
             {
                 "metric": "tiled-inference scene throughput, solar U-Net 256+128 "
-                "4-band (vs reference batch-1 per-chip predict loop)",
+                "4-band, pipelined uint16 scenes (vs reference batch-1 per-chip "
+                "predict loop)",
                 "value": round(ours, 3),
                 "unit": "MPix/s",
                 "vs_baseline": round(ours / ref, 2),

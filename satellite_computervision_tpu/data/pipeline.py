@@ -53,15 +53,12 @@ class ChipDataset:
         self.compression = compression
 
     def __iter__(self):
+        from satellite_computervision_tpu.data.tfrecord import read_float_examples
+
         k = self.kernel_size
         for path in self.files:
-            with TFRecordReader(path, self.compression) as reader:
-                for record in reader:
-                    parsed = parse_example(record)
-                    yield {
-                        name: np.asarray(parsed[name], np.float32).reshape(k, k)
-                        for name in self.feature_names
-                    }
+            for row in read_float_examples(path, self.feature_names, self.compression):
+                yield {name: arr.reshape(k, k) for name, arr in row.items()}
 
 
 def make_preprocess_fn(

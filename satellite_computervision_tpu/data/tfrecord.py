@@ -46,6 +46,11 @@ def _crc32c_table():
 
 
 def crc32c(data: bytes) -> int:
+    from satellite_computervision_tpu import native
+
+    fast = native.crc32c(data)
+    if fast is not None:
+        return fast
     table = _crc32c_table()
     crc = np.uint32(0xFFFFFFFF)
     # Byte-at-a-time via the table; the C++ codec accelerates this path.
@@ -55,6 +60,11 @@ def crc32c(data: bytes) -> int:
 
 
 def masked_crc32c(data: bytes) -> int:
+    from satellite_computervision_tpu import native
+
+    fast = native.masked_crc32c(data)
+    if fast is not None:
+        return fast
     crc = crc32c(data)
     return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
 
@@ -236,7 +246,8 @@ class TFRecordReader:
             raw = open(path_or_file, "rb")
         else:
             raw = path_or_file
-        self._f = gzip.GzipFile(fileobj=raw) if compression == "GZIP" else raw
+        self._wrapped = compression == "GZIP"
+        self._f = gzip.GzipFile(fileobj=raw) if self._wrapped else raw
         self._raw = raw
         self._verify = verify_crc
 
@@ -261,7 +272,8 @@ class TFRecordReader:
             yield payload
 
     def close(self):
-        self._f.close()
+        if self._wrapped:
+            self._f.close()
         if self._own:
             self._raw.close()
 
@@ -276,7 +288,8 @@ class TFRecordWriter:
     def __init__(self, path_or_file, compression: Optional[str] = "GZIP"):
         self._own = isinstance(path_or_file, (str, bytes))
         raw = open(path_or_file, "wb") if self._own else path_or_file
-        self._f = gzip.GzipFile(fileobj=raw, mode="wb") if compression == "GZIP" else raw
+        self._wrapped = compression == "GZIP"
+        self._f = gzip.GzipFile(fileobj=raw, mode="wb") if self._wrapped else raw
         self._raw = raw
 
     def write(self, record: bytes):
@@ -287,7 +300,10 @@ class TFRecordWriter:
         self._f.write(struct.pack("<I", masked_crc32c(record)))
 
     def close(self):
-        self._f.close()
+        # Close only what this writer created: the gzip wrapper and/or a
+        # file it opened; caller-provided streams stay open.
+        if self._wrapped:
+            self._f.close()
         if self._own:
             self._raw.close()
 
@@ -315,11 +331,53 @@ def write_tfrecord_file(
             writer.write(build_example(ex))
 
 
+def read_float_examples(
+    path: str,
+    names,
+    compression: Optional[str] = "GZIP",
+    verify_crc: bool = False,
+):
+    """Bulk fast path: decode every Example's named packed-float features.
+
+    Uses the C++ codec (native.fastrecord) for framing + feature location
+    when available; falls back to the pure-Python parser. Returns a list of
+    {name: float32 ndarray} dicts.
+    """
+    from satellite_computervision_tpu import native
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if compression == "GZIP":
+        blob = gzip.decompress(blob)
+
+    split = native.split_records(blob, verify=verify_crc)
+    if split is None:  # no native library: pure-Python route
+        out = []
+        reader = TFRecordReader(io.BytesIO(blob), compression=None, verify_crc=verify_crc)
+        for rec in reader:
+            parsed = parse_example(rec)
+            out.append({n: np.asarray(parsed[n], np.float32) for n in names})
+        return out
+
+    offsets, lengths = split
+    out = []
+    for off, ln in zip(offsets, lengths):
+        rec = blob[off : off + ln]
+        row = {}
+        for n in names:
+            arr = native.find_float_feature(rec, n)
+            if arr is None:  # unpacked or missing: slow-path this record
+                parsed = parse_example(rec)
+                arr = np.asarray(parsed[n], np.float32)
+            row[n] = arr
+        out.append(row)
+    return out
+
+
 def roundtrip_bytes(examples, compression=None) -> bytes:
     """Serialize examples to an in-memory TFRecord blob (fixtures/tests)."""
     bio = io.BytesIO()
-    writer = TFRecordWriter(bio, compression)
-    for ex in examples:
-        writer.write(build_example(ex))
-    writer._f.close() if compression else None
+    with TFRecordWriter(bio, compression) as writer:
+        for ex in examples:
+            writer.write(build_example(ex))
     return bio.getvalue()

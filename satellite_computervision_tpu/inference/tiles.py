@@ -1,20 +1,25 @@
-"""Batched, device-resident overlap-tile inference with on-device stitching.
+"""Batched, device-resident overlap-tile inference with scatter-free stitching.
 
 The TPU-native replacement for the reference's per-chip predict loop
-(utils/prediction_tools.py:133-156: ``m.predict`` with batch=1 per chip,
-host round-trip per chip, host-side template accumulation). Design:
+(utils/prediction_tools.py:133-156: ``m.predict`` batch=1 per chip, a host
+round-trip per chip, host-side template accumulation). Design notes:
 
-- chip geometry identical to the reference (kernel-stride grid, halo
-  ``buffer``, central-window writes) via ops.chips;
-- the full scene lives in device HBM; a single jitted program scans over
-  chip batches: gather (vmapped dynamic_slice) -> model forward (batched,
-  MXU-friendly) -> central-crop / Hann-feathered scatter-add — zero host
-  transfers between chips;
-- the grid is padded to a batch multiple with clamped duplicate indices
-  so every shape is static; duplicate writes are masked for additive
-  blends and idempotent for overwrite;
-- scenes taller than ``max_rows`` stream through the same engine in
-  full-width horizontal bands with halo overlap, bounding device memory.
+- chip geometry matches the reference: chips of side ``kernel + buffer``
+  on a stride-``kernel`` grid, only the central ``kernel``-window is kept;
+- the whole scene lives in HBM; ONE jitted program does
+  pad -> gather (vmapped dynamic_slice) -> model forward (lax.map over
+  batches, MXU-sized) -> central-crop -> stitch;
+- because central windows tile disjointly on the stride-``kernel`` grid,
+  stitching is a pure reshape/transpose — no scatter, no serialized
+  dynamic updates (a naive scan-of-dynamic_update_slice stitcher measured
+  ~1.4 s/scene on v5e vs ~0 for the reshape);
+- Hann-feathered blending (seam-free, the reference's hard crop can show
+  tile edges) is also scatter-free: chips are partitioned into 4
+  interleaved (even/odd row x col) sets; within a set, stride 2*kernel >=
+  side so placements are disjoint and reshape-stitchable; the 4 canvases
+  are shift-added and normalized by the same-blended weight window.
+  Requires ``buffer <= kernel`` (true for every reference config);
+- scenes taller than ``max_rows`` stream through in full-width bands.
 
 Multi-device spatial sharding of the same loop lives in
 satellite_computervision_tpu.parallel.
@@ -22,7 +27,6 @@ satellite_computervision_tpu.parallel.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -33,11 +37,26 @@ import jax.numpy as jnp
 from satellite_computervision_tpu.ops.chips import generate_chip_indices
 
 
+def _hann_window(side: int, dtype=jnp.float32):
+    n = jnp.arange(side, dtype=dtype)
+    w1 = jnp.sqrt(jnp.clip(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (n + 0.5) / side), 1e-4))
+    return w1[:, None] * w1[None, :]
+
+
 class TiledInferenceEngine:
     """Runs a chip-level ``predict_fn`` over arbitrarily sized scenes.
 
-    ``predict_fn(chips) -> preds``: (B, side, side, C_in) -> (B, side,
-    side, C_out), typically ``lambda x: model.apply(variables, x)["probs"]``.
+    ``predict_fn(chips) -> preds``: (B, side, side, C_in) ->
+    (B, side, side, C_out), typically
+    ``lambda x: model.apply(variables, x)["probs"]``.
+
+    index_mode:
+    - ``"grid"`` (default): scene is edge-padded by buffer/2 so the
+      stride-kernel grid covers every pixel (output shape == scene shape).
+    - ``"reference"``: exact parity with utils/prediction_tools.py:87-109 —
+      no padding, margins stay zero.
+    blend: ``"overwrite"`` (disjoint central windows — equivalent to the
+    reference's ``+=`` on this grid) or ``"hann"`` (feathered overlap).
     """
 
     def __init__(
@@ -48,9 +67,18 @@ class TiledInferenceEngine:
         batch_size: int = 16,
         out_channels: int = 1,
         blend: str = "overwrite",
-        index_mode: str = "cover",
+        index_mode: str = "grid",
         max_rows: Optional[int] = None,
+        preprocess_fn: Optional[Callable] = None,
     ):
+        if blend not in ("overwrite", "sum", "hann"):
+            raise ValueError(f"unknown blend mode {blend!r}")
+        if index_mode in ("cover",):  # legacy alias
+            index_mode = "grid"
+        if index_mode not in ("grid", "reference"):
+            raise ValueError(f"unknown index mode {index_mode!r}")
+        if blend == "hann" and buffer > kernel:
+            raise ValueError("hann blending requires buffer <= kernel")
         self.predict_fn = predict_fn
         self.kernel = kernel
         self.buffer = buffer
@@ -59,6 +87,11 @@ class TiledInferenceEngine:
         self.blend = blend
         self.index_mode = index_mode
         self.max_rows = max_rows
+        # Optional fused scene preprocessing (e.g. raw uint16 DNs -> f32 /
+        # 10000). Runs inside the jitted program, so scenes can ship to the
+        # device in their storage dtype — halving H2D traffic for 16-bit
+        # imagery, usually the pipeline bottleneck.
+        self.preprocess_fn = preprocess_fn
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -70,111 +103,183 @@ class TiledInferenceEngine:
         c_out = self.out_channels
         h, w, c_in = scene_shape
         blend = self.blend
-
-        if blend == "hann":
-            n = np.arange(side, dtype=np.float32)
-            w1 = np.sqrt(np.clip(0.5 - 0.5 * np.cos(2 * np.pi * (n + 0.5) / side), 1e-4, None))
-            window_np = (w1[:, None] * w1[None, :]).astype(np.float32)
-        else:
-            window_np = None
-
         predict_fn = self.predict_fn
+        mode = self.index_mode
+
+        if mode == "grid":
+            # central windows at [r*kernel, r*kernel + kernel) cover [0, h);
+            # chips read [r*kernel - half, ... + side) -> pad half on top/left
+            # and (rows*kernel + half - h) on bottom/right.
+            rows = -(-h // kernel)
+            cols = -(-w // kernel)
+            pad_bottom = rows * kernel + half - h
+            pad_right = cols * kernel + half - w
+        else:  # reference grid, unpadded
+            rows = len(range(half, h - side, kernel))
+            cols = len(range(half, w - side, kernel))
+            pad_bottom = pad_right = 0
+
+        n = rows * cols
+        if n == 0:
+            return None
+
+        n_pad = (-n) % bsz
+        corners = np.asarray(
+            [(r * kernel, ci * kernel) for r in range(rows) for ci in range(cols)],
+            np.int32,
+        )
+        if n_pad:
+            corners = np.concatenate([corners, np.repeat(corners[-1:], n_pad, 0)])
+        n_batches = len(corners) // bsz
+
+        def gather(scene, corner_batch):
+            def one(yx):
+                return jax.lax.dynamic_slice(scene, (yx[0], yx[1], 0), (side, side, c_in))
+
+            return jax.vmap(one)(corner_batch)
+
+        def tile_grid(crops, tile: int):
+            """(rows*cols, tile, tile, C) -> (rows*tile, cols*tile, C)."""
+            return (
+                crops.reshape(rows, cols, tile, tile, c_out)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(rows * tile, cols * tile, c_out)
+            )
+
+        preprocess_fn = self.preprocess_fn
 
         @jax.jit
-        def run(scene, indices, valid):
-            window = jnp.asarray(window_np) if window_np is not None else None
+        def run(scene):
+            if preprocess_fn is not None:
+                scene = preprocess_fn(scene)
+            scene = scene.astype(jnp.float32)
+            if mode == "grid":
+                # edge-replicate so convs near scene borders see plausible
+                # context instead of zeros
+                padded = jnp.pad(
+                    scene, ((half, pad_bottom), (half, pad_right), (0, 0)), mode="edge"
+                )
+            else:
+                padded = scene
+            # Statically unrolled groups: one big batched forward per group.
+            # (A lax.map/scan formulation measured ~3x slower end-to-end on
+            # v5e than the unrolled same-shape calls; with batch_size >= n
+            # the whole scene is ONE forward.)
+            corner_groups = corners.reshape(n_batches, bsz, 2)
+            preds = jnp.concatenate(
+                [
+                    predict_fn(gather(padded, jnp.asarray(g))).astype(jnp.float32)
+                    for g in corner_groups
+                ]
+            )[:n]
 
-            def gather(idx_batch):
-                def one(yx):
-                    return jax.lax.dynamic_slice(
-                        scene, (yx[0] - half, yx[1] - half, 0), (side, side, c_in)
-                    )
+            if blend in ("overwrite", "sum"):
+                crops = preds[:, half : half + kernel, half : half + kernel, :]
+                grid = tile_grid(crops, kernel)
+                if mode == "grid":
+                    return grid[:h, :w]
+                out = jnp.zeros((h, w, c_out), jnp.float32)
+                return jax.lax.dynamic_update_slice(out, grid, (half, half, 0))
 
-                return jax.vmap(one)(idx_batch)
+            # hann: 4 interleaved disjoint passes, scatter-free.
+            win = _hann_window(side)[..., None]
+            weighted = preds * win
+            pad_to = 2 * kernel  # block pitch per interleaved set
+            canvas_h = (rows + 1) // 2 * pad_to + side
+            canvas_w = (cols + 1) // 2 * pad_to + side
 
-            def scatter(carry, preds, idx_batch, valid_batch):
-                acc, wacc = carry
+            # Pad the chip stack once into (rows, cols, 2k, 2k, C) blocks.
+            def blocks_of(x):
+                x = x.reshape(rows, cols, side, side, -1)
+                return jnp.pad(
+                    x, ((0, 0), (0, 0), (0, pad_to - side), (0, pad_to - side), (0, 0))
+                )
 
-                def body(i, carry):
-                    acc, wacc = carry
-                    y, x = idx_batch[i, 0], idx_batch[i, 1]
-                    if blend == "overwrite":
-                        crop = preds[i, half : half + kernel, half : half + kernel, :]
-                        acc = jax.lax.dynamic_update_slice(acc, crop, (y, x, 0))
-                        return acc, wacc
-                    v = valid_batch[i].astype(preds.dtype)
-                    if blend == "sum":
-                        crop = preds[i, half : half + kernel, half : half + kernel, :] * v
-                        cur = jax.lax.dynamic_slice(acc, (y, x, 0), (kernel, kernel, c_out))
-                        acc = jax.lax.dynamic_update_slice(acc, cur + crop, (y, x, 0))
-                        return acc, wacc
-                    # hann
-                    contrib = preds[i] * window[..., None] * v
-                    corner = (y - half, x - half, 0)
-                    cur = jax.lax.dynamic_slice(acc, corner, (side, side, c_out))
-                    acc = jax.lax.dynamic_update_slice(acc, cur + contrib, corner)
-                    curw = jax.lax.dynamic_slice(wacc, corner, (side, side, 1))
-                    wacc = jax.lax.dynamic_update_slice(
-                        wacc, curw + window[..., None] * v, corner
-                    )
-                    return acc, wacc
+            wblocks = blocks_of(weighted)
+            winblocks = blocks_of(jnp.broadcast_to(win, (n, side, side, 1)))
 
-                return jax.lax.fori_loop(0, bsz, body, (acc, wacc))
+            acc = jnp.zeros((canvas_h, canvas_w, c_out), jnp.float32)
+            wacc = jnp.zeros((canvas_h, canvas_w, 1), jnp.float32)
+            for i in (0, 1):
+                for j in (0, 1):
+                    sub = wblocks[i::2, j::2]
+                    wsub = winblocks[i::2, j::2]
+                    r2, c2 = sub.shape[0], sub.shape[1]
+                    if r2 == 0 or c2 == 0:
+                        continue
 
-            def step(carry, batch):
-                idx_batch, valid_batch = batch
-                chips = gather(idx_batch)
-                preds = predict_fn(chips)
-                carry = scatter(carry, preds, idx_batch, valid_batch)
-                return carry, None
+                    def lay(blocks, channels):
+                        tiled = (
+                            blocks.transpose(0, 2, 1, 3, 4)
+                            .reshape(r2 * pad_to, c2 * pad_to, channels)
+                        )
+                        return jnp.pad(
+                            tiled,
+                            (
+                                (i * kernel, canvas_h - r2 * pad_to - i * kernel),
+                                (j * kernel, canvas_w - c2 * pad_to - j * kernel),
+                                (0, 0),
+                            ),
+                        )
 
-            acc0 = jnp.zeros((h, w, c_out), jnp.float32)
-            wacc0 = jnp.zeros((h, w, 1 if blend == "hann" else 0), jnp.float32)
-            (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), (indices, valid))
-            if blend == "hann":
-                acc = acc / jnp.maximum(wacc, 1e-8)
-            return acc
+                    acc = acc + lay(sub, c_out)
+                    wacc = wacc + lay(wsub, 1)
+
+            blended = acc / jnp.maximum(wacc, 1e-8)
+            if mode == "grid":
+                # canvas origin == padded-scene origin; padded origin is
+                # (half, half) before original pixel (0, 0)
+                return jax.lax.dynamic_slice(blended, (half, half, 0), (h, w, c_out))
+            out = jnp.zeros((h, w, c_out), jnp.float32)
+            region = blended[half : half + rows * kernel, half : half + cols * kernel]
+            return jax.lax.dynamic_update_slice(out, region, (half, half, 0))
 
         return run
 
     # ------------------------------------------------------------------
-    def _batched_indices(self, h, w):
-        idx = generate_chip_indices(
-            h, w, kernel=self.kernel, buffer=self.buffer, mode=self.index_mode
-        )
-        n = len(idx)
-        if n == 0:
-            return None, None, 0
-        bsz = self.batch_size
-        n_pad = (-n) % bsz
-        if n_pad:
-            idx = np.concatenate([idx, np.repeat(idx[-1:], n_pad, axis=0)], axis=0)
-        valid = np.ones(len(idx), bool)
-        valid[n:] = False
-        return (
-            idx.reshape(-1, bsz, 2),
-            valid.reshape(-1, bsz),
-            n,
-        )
-
     def predict_scene(self, scene) -> jnp.ndarray:
         """(H, W, C_in) scene -> (H, W, out_channels) stitched prediction."""
         h, w, _ = scene.shape
         if self.max_rows is not None and h > self.max_rows:
             return self._predict_banded(scene)
-
-        idx, valid, n = self._batched_indices(h, w)
-        if n == 0:
-            return jnp.zeros((h, w, self.out_channels), jnp.float32)
-        key = (h, w, scene.shape[2])
+        key = (h, w, scene.shape[2], str(scene.dtype))
         if key not in self._compiled:
             self._compiled[key] = self._build(scene.shape)
-        return self._compiled[key](
-            jnp.asarray(scene), jnp.asarray(idx, jnp.int32), jnp.asarray(valid)
-        )
+        run = self._compiled[key]
+        if run is None:
+            return jnp.zeros((h, w, self.out_channels), jnp.float32)
+        return run(jnp.asarray(scene))
+
+    def predict_scenes(self, scenes, prefetch: int = 2):
+        """Pipelined multi-scene inference: a background thread stages the
+        next scenes onto the device (``jax.device_put``) while the current
+        one computes, so steady-state throughput is max(compute, transfer)
+        rather than their sum — the multi-state sweep workload
+        (BASELINE.json config #5). Yields predictions in order."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _END = object()
+
+        def stage():
+            try:
+                for scene in scenes:
+                    q.put(jax.device_put(jnp.asarray(scene)))
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=stage, daemon=True).start()
+        while True:
+            staged = q.get()
+            if staged is _END:
+                return
+            yield self.predict_scene(staged)
 
     def _predict_banded(self, scene):
-        """Stream a tall scene in full-width bands with halo overlap."""
+        """Stream a tall scene in full-width bands with halo overlap,
+        bounding device memory (the Dask-chunking analog,
+        utils/pc_tools.py:707-718, without workers or model re-downloads)."""
         h, w, _ = scene.shape
         kernel, buffer = self.kernel, self.buffer
         half = buffer // 2
@@ -183,13 +288,12 @@ class TiledInferenceEngine:
             raise ValueError("max_rows too small for kernel+buffer")
         out = np.zeros((h, w, self.out_channels), np.float32)
         y = 0
-        while y + half < h - half:
+        while y < h:
             y0 = max(y - half, 0)
             y1 = min(y + band + half, h)
-            piece = np.asarray(
-                self.predict_scene(np.asarray(scene[y0:y1]))
-            )
-            write_lo = y + half if y == 0 else y
-            out[write_lo : y1 - half] = piece[write_lo - y0 : (y1 - half) - y0]
+            piece = np.asarray(self.predict_scene(np.asarray(scene[y0:y1])))
+            lo = y
+            hi = min(y + band, h)
+            out[lo:hi] = piece[lo - y0 : hi - y0]
             y += band
         return jnp.asarray(out)

@@ -1,0 +1,246 @@
+// Fast host-side TFRecord codec: CRC32C, record framing, Example feature
+// location. The native tier of the ingestion service (the reference's
+// equivalent hot path is tf.data's C++ TFRecordDataset kernels; see
+// utils/processing.py:416). Exposed through ctypes (native/__init__.py)
+// with a pure-Python fallback in data/tfrecord.py.
+//
+// Build: g++ -O3 -shared -fPIC fastrecord.cc -o libfastrecord.so
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// Slice-by-8 CRC32C (Castagnoli, reflected 0x82F63B78).
+uint32_t kTable[8][256];
+bool kInit = false;
+
+void init_tables() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int j = 0; j < 8; ++j)
+      crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
+    kTable[0][i] = crc;
+  }
+  for (uint32_t i = 0; i < 256; ++i)
+    for (int s = 1; s < 8; ++s)
+      kTable[s][i] = (kTable[s - 1][i] >> 8) ^ kTable[0][kTable[s - 1][i] & 0xFF];
+  kInit = true;
+}
+
+inline uint32_t crc32c_impl(const uint8_t* p, size_t len, uint32_t crc) {
+  if (!kInit) init_tables();
+  crc = ~crc;
+  while (len >= 8) {
+    uint64_t word;
+    std::memcpy(&word, p, 8);
+    word ^= crc;  // little-endian hosts only (x86/arm LE)
+    crc = kTable[7][word & 0xFF] ^ kTable[6][(word >> 8) & 0xFF] ^
+          kTable[5][(word >> 16) & 0xFF] ^ kTable[4][(word >> 24) & 0xFF] ^
+          kTable[3][(word >> 32) & 0xFF] ^ kTable[2][(word >> 40) & 0xFF] ^
+          kTable[1][(word >> 48) & 0xFF] ^ kTable[0][(word >> 56) & 0xFF];
+    p += 8;
+    len -= 8;
+  }
+  while (len--) crc = kTable[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
+inline uint32_t mask_crc(uint32_t crc) {
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+// Protobuf varint; returns bytes consumed or 0 on overrun.
+inline size_t read_varint(const uint8_t* p, size_t len, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  for (size_t i = 0; i < len && i < 10; ++i) {
+    result |= static_cast<uint64_t>(p[i] & 0x7F) << shift;
+    if (!(p[i] & 0x80)) {
+      *out = result;
+      return i + 1;
+    }
+    shift += 7;
+  }
+  return 0;
+}
+
+// Skip a field of the given wire type; returns bytes consumed or 0.
+size_t skip_field(const uint8_t* p, size_t len, uint32_t wire) {
+  uint64_t v;
+  size_t n;
+  switch (wire) {
+    case 0:
+      return read_varint(p, len, &v);
+    case 1:
+      return len >= 8 ? 8 : 0;
+    case 2:
+      n = read_varint(p, len, &v);
+      return (n && n + v <= len) ? n + v : 0;
+    case 5:
+      return len >= 4 ? 4 : 0;
+    default:
+      return 0;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+uint32_t scv_crc32c(const uint8_t* data, int64_t len) {
+  return crc32c_impl(data, static_cast<size_t>(len), 0);
+}
+
+uint32_t scv_masked_crc32c(const uint8_t* data, int64_t len) {
+  return mask_crc(crc32c_impl(data, static_cast<size_t>(len), 0));
+}
+
+// Split a raw (decompressed) TFRecord stream into records.
+// offsets/lengths must hold max_records entries. Returns the record count,
+// or -1 on framing error, -2 on CRC mismatch (when verify != 0).
+int64_t scv_split_records(const uint8_t* buf, int64_t len, int verify,
+                          int64_t* offsets, int64_t* lengths,
+                          int64_t max_records) {
+  int64_t pos = 0, count = 0;
+  while (pos + 12 <= len && count < max_records) {
+    uint64_t rec_len;
+    std::memcpy(&rec_len, buf + pos, 8);
+    if (verify) {
+      uint32_t stored;
+      std::memcpy(&stored, buf + pos + 8, 4);
+      if (mask_crc(crc32c_impl(buf + pos, 8, 0)) != stored) return -2;
+    }
+    int64_t data_start = pos + 12;
+    if (data_start + static_cast<int64_t>(rec_len) + 4 > len) return -1;
+    if (verify) {
+      uint32_t stored;
+      std::memcpy(&stored, buf + data_start + rec_len, 4);
+      if (mask_crc(crc32c_impl(buf + data_start, rec_len, 0)) != stored)
+        return -2;
+    }
+    offsets[count] = data_start;
+    lengths[count] = static_cast<int64_t>(rec_len);
+    ++count;
+    pos = data_start + rec_len + 4;
+  }
+  return count;
+}
+
+// Locate the packed float payload of a named feature inside a serialized
+// Example. Returns the byte offset of the float data (relative to buf) and
+// writes its byte length to *out_len; -1 if the feature is missing or not
+// a packed FloatList.
+int64_t scv_find_float_feature(const uint8_t* buf, int64_t len,
+                               const char* name, int64_t* out_len) {
+  size_t name_len = std::strlen(name);
+  int64_t pos = 0;
+  while (pos < len) {
+    uint64_t tag;
+    size_t n = read_varint(buf + pos, len - pos, &tag);
+    if (!n) return -1;
+    pos += n;
+    uint32_t field = tag >> 3, wire = tag & 7;
+    if (field == 1 && wire == 2) {  // Features
+      uint64_t fmap_len;
+      n = read_varint(buf + pos, len - pos, &fmap_len);
+      if (!n) return -1;
+      int64_t fmap = pos + n, fmap_end = fmap + fmap_len;
+      int64_t p2 = fmap;
+      while (p2 < fmap_end) {
+        uint64_t tag2;
+        size_t n2 = read_varint(buf + p2, fmap_end - p2, &tag2);
+        if (!n2) return -1;
+        p2 += n2;
+        if ((tag2 >> 3) == 1 && (tag2 & 7) == 2) {  // map entry
+          uint64_t entry_len;
+          n2 = read_varint(buf + p2, fmap_end - p2, &entry_len);
+          if (!n2) return -1;
+          int64_t entry = p2 + n2, entry_end = entry + entry_len;
+          p2 = entry_end;
+          // inside entry: field1=key, field2=Feature
+          int64_t key_off = -1, key_len = 0, feat_off = -1, feat_len = 0;
+          int64_t p3 = entry;
+          while (p3 < entry_end) {
+            uint64_t tag3;
+            size_t n3 = read_varint(buf + p3, entry_end - p3, &tag3);
+            if (!n3) return -1;
+            p3 += n3;
+            uint64_t flen;
+            n3 = read_varint(buf + p3, entry_end - p3, &flen);
+            if (!n3) return -1;
+            if ((tag3 >> 3) == 1)
+              key_off = p3 + n3, key_len = flen;
+            else if ((tag3 >> 3) == 2)
+              feat_off = p3 + n3, feat_len = flen;
+            p3 += n3 + flen;
+          }
+          if (key_off >= 0 && static_cast<size_t>(key_len) == name_len &&
+              std::memcmp(buf + key_off, name, name_len) == 0 &&
+              feat_off >= 0) {
+            // Feature -> field2 FloatList -> field1 packed floats
+            int64_t p4 = feat_off, feat_end = feat_off + feat_len;
+            while (p4 < feat_end) {
+              uint64_t tag4;
+              size_t n4 = read_varint(buf + p4, feat_end - p4, &tag4);
+              if (!n4) return -1;
+              p4 += n4;
+              if ((tag4 >> 3) == 2 && (tag4 & 7) == 2) {
+                uint64_t fl_len;
+                n4 = read_varint(buf + p4, feat_end - p4, &fl_len);
+                int64_t fl = p4 + n4, fl_end = fl + fl_len;
+                int64_t p5 = fl;
+                while (p5 < fl_end) {
+                  uint64_t tag5;
+                  size_t n5 = read_varint(buf + p5, fl_end - p5, &tag5);
+                  if (!n5) return -1;
+                  p5 += n5;
+                  if ((tag5 >> 3) == 1 && (tag5 & 7) == 2) {
+                    uint64_t data_len;
+                    n5 = read_varint(buf + p5, fl_end - p5, &data_len);
+                    *out_len = static_cast<int64_t>(data_len);
+                    return p5 + n5;
+                  }
+                  size_t sk = skip_field(buf + p5, fl_end - p5, tag5 & 7);
+                  if (!sk) return -1;
+                  p5 += sk;
+                }
+                return -1;
+              }
+              size_t sk = skip_field(buf + p4, feat_end - p4, tag4 & 7);
+              if (!sk) return -1;
+              p4 += sk;
+            }
+            return -1;
+          }
+        } else {
+          size_t sk = skip_field(buf + p2, fmap_end - p2, tag2 & 7);
+          if (!sk) return -1;
+          p2 += sk;
+        }
+      }
+      pos = fmap_end;
+    } else {
+      size_t sk = skip_field(buf + pos, len - pos, wire);
+      if (!sk) return -1;
+      pos += sk;
+    }
+  }
+  return -1;
+}
+
+// Frame a record in place: writes the 12-byte header and 4-byte footer
+// around `data` into `out` (which must hold len + 16 bytes). Returns the
+// total framed size.
+int64_t scv_frame_record(const uint8_t* data, int64_t len, uint8_t* out) {
+  uint64_t len64 = static_cast<uint64_t>(len);
+  std::memcpy(out, &len64, 8);
+  uint32_t len_crc = mask_crc(crc32c_impl(out, 8, 0));
+  std::memcpy(out + 8, &len_crc, 4);
+  std::memcpy(out + 12, data, len);
+  uint32_t data_crc = mask_crc(crc32c_impl(data, len, 0));
+  std::memcpy(out + 12 + len, &data_crc, 4);
+  return len + 16;
+}
+
+}  // extern "C"

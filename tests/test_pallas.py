@@ -1,0 +1,83 @@
+"""Pallas kernels in interpreter mode (CPU): semantics vs the op-chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.ops.augment import apply_morph
+from satellite_computervision_tpu.pallas import fused_preprocess
+from satellite_computervision_tpu.pallas.preprocess import draw_augment_params
+
+
+def test_no_augment_matches_rescale(rng):
+    chips = rng.uniform(10.0, 5000.0, (3, 16, 16, 4)).astype(np.float32)
+    out = np.asarray(fused_preprocess(chips, augment=False, interpret=True))
+    lo = chips.min(axis=(1, 2), keepdims=True)
+    hi = chips.max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(out, (chips - lo) / (hi - lo + 1e-8), rtol=1e-4, atol=1e-5)
+
+
+def test_label_channels_pass_through(rng):
+    feats = rng.uniform(0, 100, (2, 8, 8, 3)).astype(np.float32)
+    labels = (rng.uniform(size=(2, 8, 8, 1)) > 0.5).astype(np.float32)
+    stack = np.concatenate([feats, labels], axis=-1)
+    out = np.asarray(fused_preprocess(stack, n_color=3, augment=False, interpret=True))
+    np.testing.assert_array_equal(out[..., 3:], labels)
+    assert out[..., :3].max() <= 1.0 + 1e-5
+
+
+def test_fused_matches_unfused_ops_exactly(rng):
+    """Bit-compatibility: the kernel with externally drawn params must equal
+    recolor -> rescale -> morph built from the ops module with the SAME
+    draws."""
+    chips = rng.uniform(0.0, 100.0, (4, 8, 8, 3)).astype(np.float32)
+    key = jax.random.key(11)
+    out = np.asarray(fused_preprocess(chips, key, n_color=3, interpret=True))
+
+    contra, bright, morph = draw_augment_params(key, 4, 3)
+    contra, bright, morph = np.asarray(contra), np.asarray(bright), np.asarray(morph)
+    for i in range(4):
+        x = chips[i]
+        mean = x.mean(axis=(0, 1), keepdims=True)
+        x = (x - mean) * contra[i] + mean * bright[i]
+        lo = x.min(axis=(0, 1), keepdims=True)
+        hi = x.max(axis=(0, 1), keepdims=True)
+        x = (x - lo) / (hi - lo + 1e-8)
+        x = np.asarray(
+            apply_morph(x, jnp.asarray(bool(morph[i, 0])), jnp.asarray(bool(morph[i, 1])), jnp.asarray(morph[i, 2]))
+        )
+        np.testing.assert_allclose(out[i], x, rtol=1e-4, atol=1e-5)
+
+
+def test_augment_preserves_geometry(rng):
+    """Output is one of the 8 dihedral transforms of the unaugmented
+    output, identically across channels."""
+    chips = rng.uniform(0, 1, (4, 8, 8, 2)).astype(np.float32)
+    base = np.asarray(fused_preprocess(chips, n_color=0, augment=False, interpret=True))
+    out = np.asarray(
+        fused_preprocess(chips, jax.random.key(7), n_color=0, interpret=True)
+    )
+    for i in range(chips.shape[0]):
+        candidates = []
+        for fv in (False, True):
+            x = np.flip(base[i], 0) if fv else base[i]
+            for fh in (False, True):
+                y = np.flip(x, 1) if fh else x
+                for r in range(4):
+                    candidates.append(np.rot90(y, r, axes=(0, 1)))
+        assert any(np.allclose(out[i], cand, atol=1e-5) for cand in candidates), i
+
+
+def test_deterministic_per_key(rng):
+    chips = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    a = np.asarray(fused_preprocess(chips, jax.random.key(5), interpret=True))
+    b = np.asarray(fused_preprocess(chips, jax.random.key(5), interpret=True))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(fused_preprocess(chips, jax.random.key(6), interpret=True))
+    assert not np.array_equal(a, c)
+
+
+def test_augment_requires_key(rng):
+    with pytest.raises(ValueError):
+        fused_preprocess(np.zeros((1, 8, 8, 2), np.float32), interpret=True)
