@@ -19,12 +19,20 @@ from satellite_computervision_tpu.models.convlstm import LSTMStack
 
 class ACNNTrunk(nn.Module):
     """The conv / dilated-conv residual block stack; returns the feature
-    stream after each block so heads can tap intermediate depths
-    (build_acnn_layers2, utils/model_tools.py:941-979)."""
+    stream after each block so heads can tap intermediate depths.
+
+    ``variant=2`` (default) follows build_acnn_layers2
+    (utils/model_tools.py:941-979): each block's plain conv consumes the
+    previous block's *activated* output. ``variant=1`` follows
+    build_acnn_layers (:922-939), whose plain conv consumes the previous
+    block's raw (pre-BN) conv output — the only wiring difference between
+    the two reference builders.
+    """
 
     n_blocks: int = 16
     features: int = 16
     kernel_size: Tuple[int, int] = (3, 3)
+    variant: int = 2
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -41,28 +49,30 @@ class ACNNTrunk(nn.Module):
             )(y)
 
         x = jnp.asarray(x, self.dtype)
-        features = x
+        conv_in = x  # variant-dependent input to each block's plain conv
         features_add = None
         taps = []
         for block in range(self.n_blocks):
             feats = nn.Conv(
                 self.features, self.kernel_size, padding="SAME", dtype=self.dtype,
                 name=f"conv_{block}_1",
-            )(features)
+            )(conv_in)
             normed = batch_norm(feats, f"bn_{block}_1")
             if block == 0:
                 features_add = nn.relu(normed)
             else:
                 features_add = nn.relu(normed + features_add)
-
             feats = nn.Conv(
                 self.features, self.kernel_size, padding="SAME",
                 kernel_dilation=(3, 3), dtype=self.dtype,
                 name=f"dilated_conv_{block}_2",
             )(features_add)
             normed = batch_norm(feats, f"bn_{block}_2")
-            features = nn.relu(normed)
-            taps.append(features)
+            activated = nn.relu(normed)
+            # variant 1 feeds the next plain conv the RAW dilated-conv
+            # output; variant 2 feeds it the activated features
+            conv_in = feats if self.variant == 1 else activated
+            taps.append(activated)
         return taps
 
 

@@ -21,6 +21,7 @@ class SiameseUNet(nn.Module):
     filters: Sequence[int] = (32, 64, 128)
     factors: Sequence[int] = (2, 2, 2)
     threshold: float = 0.5
+    output_bias: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -54,7 +55,12 @@ class SiameseUNet(nn.Module):
         ):
             x = DecoderBlock(feat, up=(factor, factor), **common)(x, skip, train)
 
-        logits = nn.Conv(1, (1, 1), dtype=self.dtype, name="head")(x)
+        bias_init = (
+            nn.initializers.constant(self.output_bias)
+            if self.output_bias is not None
+            else nn.initializers.zeros_init()
+        )
+        logits = nn.Conv(1, (1, 1), bias_init=bias_init, dtype=self.dtype, name="head")(x)
         logits = logits.astype(jnp.float32)
         probs = nn.sigmoid(logits)
         classes = (probs > self.threshold).astype(jnp.int32)

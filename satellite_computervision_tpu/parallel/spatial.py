@@ -1,0 +1,116 @@
+"""Spatial-domain sharding of full-scene inference with ICI halo exchange.
+
+SURVEY.md §2.9: the reference's only "long context" is spatial extent,
+handled by overlap-tile decomposition (utils/prediction_tools.py:87-156)
+and Dask chunking with halos (utils/pc_tools.py:707-718). The TPU-native
+equivalent here shards the SCENE itself across a mesh axis: each device
+owns a horizontal band of rows, exchanges ``buffer/2``-row halos with its
+neighbors over ICI (``jax.lax.ppermute`` — the conv analog of
+ring-attention halo passing), and runs the overlap-tile grid on its local
+band. One ``shard_map`` program, no host involvement, no Dask workers,
+no per-worker model downloads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.5 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_spatial_inference(
+    predict_fn: Callable,
+    mesh: Mesh,
+    axis: str = "data",
+    kernel: int = 256,
+    buffer: int = 128,
+    out_channels: int = 1,
+):
+    """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
+
+    ``predict_fn``: (B, side, side, C_in) -> (B, side, side, C_out).
+    The returned function accepts any (H, W, C) scene; it is edge-padded
+    so each device's band is a multiple of ``kernel`` rows, and the
+    prediction is cropped back to (H, W, out_channels).
+    """
+    n_dev = mesh.shape[axis]
+    side = kernel + buffer
+    half = buffer // 2
+    c_out = out_channels
+
+    def local_band_predict(band, cols):
+        """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
+        hl = band.shape[0] - buffer
+        rows = hl // kernel
+        corners = np.asarray(
+            [(r * kernel, c * kernel) for r in range(rows) for c in range(cols)],
+            np.int32,
+        )
+
+        def one(yx):
+            return jax.lax.dynamic_slice(
+                band, (yx[0], yx[1], 0), (side, side, band.shape[2])
+            )
+
+        chips = jax.vmap(one)(jnp.asarray(corners))
+        preds = predict_fn(chips).astype(jnp.float32)
+        crops = preds[:, half : half + kernel, half : half + kernel, :]
+        return (
+            crops.reshape(rows, cols, kernel, kernel, c_out)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(rows * kernel, cols * kernel, c_out)
+        )
+
+    def run(scene):
+        h, w, c = scene.shape
+        # global geometry: rows per device, a multiple of kernel
+        rows_per_dev = -(-h // (n_dev * kernel)) * kernel
+        h_pad = rows_per_dev * n_dev
+        cols = -(-w // kernel)
+        w_pad = cols * kernel
+        scene_p = jnp.pad(
+            scene.astype(jnp.float32),
+            ((half, h_pad + half - h), (half, w_pad + half - w), (0, 0)),
+            mode="edge",
+        )
+        # scene_p rows: h_pad + buffer; strip the global halos so shards
+        # split evenly, then re-exchange halos on-device.
+        core = scene_p[half : half + h_pad]
+        top_halo = scene_p[:half]
+        bottom_halo = scene_p[half + h_pad :]
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(None, None, None), P(None, None, None)),
+            out_specs=P(axis, None, None),
+        )
+        def sharded(local, top, bottom):
+            # halo exchange over ICI: my first/last `half` rows go to my
+            # neighbors; edge devices take the global edge-padding instead.
+            idx = jax.lax.axis_index(axis)
+            down = jax.lax.ppermute(
+                local[-half:], axis, [(i, i + 1) for i in range(n_dev - 1)]
+            )
+            up = jax.lax.ppermute(
+                local[:half], axis, [(i + 1, i) for i in range(n_dev - 1)]
+            )
+            prev_rows = jnp.where(idx == 0, top, down)
+            next_rows = jnp.where(idx == n_dev - 1, bottom, up)
+            band = jnp.concatenate([prev_rows, local, next_rows], axis=0)
+            return local_band_predict(band, cols)
+
+        out = jax.jit(sharded)(core, top_halo, bottom_halo)
+        return out[:h, :w]
+
+    return run

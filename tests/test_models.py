@@ -107,6 +107,16 @@ def test_acnn():
     np.testing.assert_allclose(np.asarray(out["probs"].sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_acnn_variant1_wiring():
+    from satellite_computervision_tpu.models.acnn import ACNNTrunk
+
+    trunk = ACNNTrunk(n_blocks=2, features=4, variant=1)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = trunk.init(KEY, x)
+    taps = trunk.apply(variables, x)
+    assert len(taps) == 2 and taps[-1].shape == (1, 8, 8, 4)
+
+
 def test_hierarchical_acnn():
     model = HierarchicalACNN(
         n_classes=9, acnn_classes=8, sub_classes=4, n_blocks=4, features=4, lstm_features=4

@@ -1,0 +1,108 @@
+"""Golden parity vs TensorFlow's own ops (the reference's substrate).
+
+The reference implements its math with TF primitives; these tests check
+our JAX implementations against the same TF primitives directly —
+tf.nn.moments-based normalization, tf.image flips/rot, weighted CE with
+logits, one_hot — establishing the "bit-for-band" contract (SURVEY.md §4)
+without importing any reference code.
+
+Slow (imports TensorFlow): enabled with SCV_TF_PARITY=1.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tf_parity
+
+if not os.environ.get("SCV_TF_PARITY"):
+    pytest.skip("set SCV_TF_PARITY=1 to run TF parity tests", allow_module_level=True)
+
+import tensorflow as tf  # noqa: E402
+
+from satellite_computervision_tpu.models import losses  # noqa: E402
+from satellite_computervision_tpu.ops import (  # noqa: E402
+    apply_morph,
+    calc_ndvi,
+    normalize_image,
+    one_hot,
+    rescale_image,
+)
+
+
+@pytest.fixture(scope="module")
+def img():
+    return np.random.default_rng(0).uniform(0, 10000, (32, 32, 6)).astype(np.float32)
+
+
+@pytest.mark.parametrize("axes", [[2], [0, 1], [0, 1, 2]])
+def test_normalize_matches_tf_moments(img, axes):
+    mean, var = tf.nn.moments(tf.constant(img), axes, keepdims=True)
+    want = ((img - mean.numpy()) / np.sqrt(var.numpy() + 1e-8)).astype(np.float32)
+    got = np.asarray(normalize_image(img, axes=tuple(axes)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("axes", [[2], [0, 1]])
+def test_rescale_matches_tf(img, axes):
+    t = tf.constant(img)
+    lo = tf.reduce_min(t, axis=axes, keepdims=True)
+    hi = tf.reduce_max(t, axis=axes, keepdims=True)
+    want = ((img - lo.numpy()) / (hi.numpy() - lo.numpy() + 1e-8)).astype(np.float32)
+    got = np.asarray(rescale_image(img, axes=tuple(axes)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_morph_matches_tf_image(img):
+    for fv in (False, True):
+        for fh in (False, True):
+            for r in range(4):
+                t = tf.constant(img)
+                if fv:
+                    t = tf.image.flip_up_down(t)
+                if fh:
+                    t = tf.image.flip_left_right(t)
+                t = tf.image.rot90(t, r)
+                got = np.asarray(
+                    apply_morph(img, jnp.asarray(fv), jnp.asarray(fh), jnp.asarray(r))
+                )
+                np.testing.assert_allclose(got, t.numpy(), rtol=1e-6)
+
+
+def test_weighted_bce_logits_matches_tf():
+    rng = np.random.default_rng(1)
+    y = (rng.uniform(size=(128,)) > 0.5).astype(np.float32)
+    logits = rng.normal(0, 3, (128,)).astype(np.float32)
+    want = float(
+        tf.reduce_mean(
+            tf.nn.weighted_cross_entropy_with_logits(
+                labels=tf.constant(y), logits=tf.constant(logits), pos_weight=5.0
+            )
+        )
+    )
+    got = float(losses.weighted_bce(y, logits, pos_weight=5.0, logits=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_one_hot_matches_tf():
+    labels = np.array([[0, 3], [7, 2]], np.float32)
+    want = tf.one_hot(tf.cast(tf.constant(labels), tf.uint8), 5).numpy()
+    got = np.asarray(one_hot(labels, 5))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ndvi_matches_tf():
+    rng = np.random.default_rng(2)
+    nir = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    red = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    want = (
+        tf.divide(
+            tf.subtract(nir, red), tf.add(1e-8, tf.add(nir, red))
+        ).numpy()
+    )
+    got = np.asarray(calc_ndvi(nir, red))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
