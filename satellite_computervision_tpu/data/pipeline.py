@@ -18,18 +18,16 @@ import functools
 import queue
 import random
 import threading
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from satellite_computervision_tpu.data.tfrecord import TFRecordReader, parse_example
 from satellite_computervision_tpu.ops.augment import aug_color, aug_morph
-from satellite_computervision_tpu.ops.bands import calc_ndvi
 from satellite_computervision_tpu.ops.classes import one_hot as one_hot_encode
-from satellite_computervision_tpu.ops.normalize import normalize_image, rescale_image
+from satellite_computervision_tpu.ops.normalize import rescale_image
 
 
 class ChipDataset:

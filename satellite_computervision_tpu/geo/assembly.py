@@ -9,7 +9,7 @@ is NumPy and the COG comes from geo.geotiff.write_cog.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

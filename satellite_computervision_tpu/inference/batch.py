@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from satellite_computervision_tpu.data.tfrecord import read_float_examples
-from satellite_computervision_tpu.inference.mixer import MixerInfo, read_mixer
+from satellite_computervision_tpu.inference.mixer import MixerInfo
 from satellite_computervision_tpu.inference.writers import write_tfrecord_predictions
 from satellite_computervision_tpu.ops.normalize import rescale_image
 

@@ -34,8 +34,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from satellite_computervision_tpu.ops.chips import generate_chip_indices
-
 
 def _hann_window(side: int, dtype=jnp.float32):
     n = jnp.arange(side, dtype=dtype)
@@ -70,6 +68,7 @@ class TiledInferenceEngine:
         index_mode: str = "grid",
         max_rows: Optional[int] = None,
         preprocess_fn: Optional[Callable] = None,
+        output_transform: Optional[Callable] = None,
     ):
         if blend not in ("overwrite", "sum", "hann"):
             raise ValueError(f"unknown blend mode {blend!r}")
@@ -92,7 +91,11 @@ class TiledInferenceEngine:
         # device in their storage dtype — halving H2D traffic for 16-bit
         # imagery, usually the pipeline bottleneck.
         self.preprocess_fn = preprocess_fn
+        # Optional fused output transform (e.g. probabilities -> uint8
+        # (p * 255)) — shrinks the D2H leg the same way.
+        self.output_transform = output_transform
         self._compiled = {}
+        self._compiled_batch = {}
 
     # ------------------------------------------------------------------
     def _build(self, scene_shape):
@@ -147,8 +150,8 @@ class TiledInferenceEngine:
             )
 
         preprocess_fn = self.preprocess_fn
+        output_transform = self.output_transform
 
-        @jax.jit
         def run(scene):
             if preprocess_fn is not None:
                 scene = preprocess_fn(scene)
@@ -234,7 +237,9 @@ class TiledInferenceEngine:
             region = blended[half : half + rows * kernel, half : half + cols * kernel]
             return jax.lax.dynamic_update_slice(out, region, (half, half, 0))
 
-        return run
+        if output_transform is None:
+            return run
+        return lambda scene: output_transform(run(scene))
 
     # ------------------------------------------------------------------
     def predict_scene(self, scene) -> jnp.ndarray:
@@ -244,11 +249,34 @@ class TiledInferenceEngine:
             return self._predict_banded(scene)
         key = (h, w, scene.shape[2], str(scene.dtype))
         if key not in self._compiled:
-            self._compiled[key] = self._build(scene.shape)
+            impl = self._build(scene.shape)
+            self._compiled[key] = jax.jit(impl) if impl is not None else None
         run = self._compiled[key]
         if run is None:
             return jnp.zeros((h, w, self.out_channels), jnp.float32)
         return run(jnp.asarray(scene))
+
+    def predict_scene_batch(self, scenes) -> jnp.ndarray:
+        """(S, H, W, C) scene stack -> (S, H, W, out_channels), vmapped.
+
+        One jitted program covers the whole sweep: S x n_chips chips feed
+        the model as one giant MXU batch and fixed per-dispatch costs
+        amortize over the stack — the BASELINE.json config-#5 shape
+        (multi-state sweeps). Memory scales with S; use predict_scenes for
+        streaming instead when the stack exceeds HBM.
+        """
+        scenes = jnp.asarray(scenes)
+        s, h, w, c = scenes.shape
+        key = (s, h, w, c, str(scenes.dtype))
+        if key not in self._compiled_batch:
+            impl = self._build((h, w, c))
+            self._compiled_batch[key] = (
+                jax.jit(jax.vmap(impl)) if impl is not None else None
+            )
+        run = self._compiled_batch[key]
+        if run is None:
+            return jnp.zeros((s, h, w, self.out_channels), jnp.float32)
+        return run(scenes)
 
     def predict_scenes(self, scenes, prefetch: int = 2):
         """Pipelined multi-scene inference: a background thread stages the

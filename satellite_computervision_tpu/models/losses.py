@@ -7,7 +7,6 @@ regardless of input dtype so bfloat16 activations lose no loss precision.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _KERAS_EPSILON = 1e-7

@@ -1,17 +1,19 @@
-"""Fused on-device chip preprocessing: rescale + color aug + morph aug.
+"""Fused on-device chip preprocessing: rescale + color aug (+ morph aug).
 
-One Pallas kernel pass replaces the reference's to_tuple chain
-(utils/processing.py:335-392: aug_tensor_color -> rescale_tensor ->
-concat -> aug_tensor_morph), which as separate XLA ops materializes the
-(B, K, K, C) stack in HBM between stages. Here each chip is staged into
-VMEM once and the per-channel moments, ±5% contrast/brightness recolor,
-min/max rescale, and random flip/rot90 all happen on-chip.
+The recolor + per-channel-moment rescale of the reference's to_tuple chain
+(utils/processing.py:335-392: aug_tensor_color -> rescale_tensor) runs as
+ONE Pallas kernel pass per chip: the chip is staged into VMEM once and the
+channel means/extrema, ±5% contrast/brightness recolor and min/max rescale
+happen on-chip instead of materializing each stage to HBM. The
+morphological flip/rot90 applies around the kernel with XLA ops (Mosaic's
+TC lowering has no `rev` primitive; a flip is pure data movement XLA
+already handles) — callers see one jittable function either way.
 
 Randomness is drawn OUTSIDE the kernel with jax.random (a few scalars per
-chip — negligible), exactly as ops.augment draws it, so the fused kernel
-is bit-compatible with the unfused op chain (aug_color with
-``per_channel=True`` + rescale_image ``axes=(0, 1)`` + apply_morph) and
-testable in interpreter mode on CPU.
+chip), exactly as ops.augment draws it, so the fused path is
+bit-compatible with the unfused chain (aug_color ``per_channel=True`` +
+rescale_image ``axes=(0, 1)`` + apply_morph) and testable in interpreter
+mode on CPU.
 
 Label/one-hot channels ride in the same block: they skip color/rescale
 (the trailing ``C - n_color`` channels) but share the morph transform —
@@ -28,8 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from satellite_computervision_tpu.ops.augment import apply_morph, draw_morph_params
 
-def _preprocess_kernel(bands_ref, contra_ref, bright_ref, morph_ref, out_ref, *, n_color, augment):
+
+def _recolor_rescale_kernel(bands_ref, params_ref, out_ref, *, n_color, augment):
     chip = bands_ref[0]  # (K, K, C)
     c = chip.shape[2]
 
@@ -38,39 +42,22 @@ def _preprocess_kernel(bands_ref, contra_ref, bright_ref, morph_ref, out_ref, *,
     x = chip
     if augment:
         mean = jnp.mean(chip, axis=(0, 1))
-        contra = contra_ref[0]  # (C,)
-        bright = bright_ref[0]
+        # params ride in one (8, 128) VMEM tile: row 0 contrast, row 1 bright
+        contra = params_ref[0, 0, :c]
+        bright = params_ref[0, 1, :c]
         recolored = (x - mean) * contra + mean * bright
         x = jnp.where(color_mask, recolored, x)
     # min/max of the (recolored) values, matching the unfused op order
     lo = jnp.min(x, axis=(0, 1))
     hi = jnp.max(x, axis=(0, 1))
     rescaled = (x - lo) / (hi - lo + 1e-8)
-    x = jnp.where(color_mask, rescaled, x)
-
-    if augment:
-        flip_v = morph_ref[0, 0] != 0
-        flip_h = morph_ref[0, 1] != 0
-        rot = morph_ref[0, 2]
-        x = jnp.where(flip_v, jnp.flip(x, axis=0), x)
-        x = jnp.where(flip_h, jnp.flip(x, axis=1), x)
-        rots = [
-            x,
-            jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),   # rot90 k=1
-            jnp.flip(jnp.flip(x, axis=0), axis=1),     # k=2
-            jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),   # k=3
-        ]
-        x = jax.lax.switch(rot, [lambda r=r: r for r in rots])
-
-    out_ref[0] = x
+    out_ref[0] = jnp.where(color_mask, rescaled, x)
 
 
 def draw_augment_params(key, batch: int, channels: int, contra_adj=0.05, bright_adj=0.05):
     """Per-chip augmentation draws, identical to the unfused path: one
     aug_color key + one morph key per sample, split exactly as
     ops.augment does."""
-    from satellite_computervision_tpu.ops.augment import draw_morph_params
-
     keys = jax.random.split(key, batch * 2).reshape(batch, 2)
 
     def one(k2):
@@ -97,16 +84,27 @@ def fused_preprocess(
     augment: bool = True,
     interpret: bool = False,
 ):
-    """(B, K, K, C) chip stack -> preprocessed stack in one kernel pass.
+    """(B, K, K, C) chip stack -> preprocessed stack.
 
     The leading ``n_color`` channels are recolored + min/max rescaled per
-    channel (axes (0, 1)); all channels share the flip/rot90 draw. Pass
-    ``augment=False`` (key optional) for the deterministic eval path.
+    channel (axes (0, 1)) in one Pallas pass; all channels share the
+    per-chip random flip/rot90. Pass ``augment=False`` (key optional) for
+    the deterministic eval path.
+
+    Verification status: bit-compatible with the unfused op chain in
+    interpreter mode (tests/test_pallas.py). NOTE: this environment's
+    remote chipless AOT compiler currently 500s on ALL pallas_call
+    lowerings (even a trivial elementwise kernel), so on-hardware
+    validation is pending a working Mosaic toolchain; the XLA op-chain
+    path (ops.augment + ops.normalize / data.pipeline.make_preprocess_fn)
+    is the production default.
     """
     bands = jnp.asarray(bands, jnp.float32)
     b, k, k2, c = bands.shape
     if k != k2:
         raise ValueError("chips must be square for rot90 augmentation")
+    if c > 128:
+        raise ValueError("fused_preprocess supports up to 128 channels")
     if n_color is None:
         n_color = c
 
@@ -117,19 +115,29 @@ def fused_preprocess(
     else:
         contra = jnp.ones((b, c), jnp.float32)
         bright = jnp.ones((b, c), jnp.float32)
-        morph = jnp.zeros((b, 3), jnp.int32)
+        morph = None
 
-    kernel = functools.partial(_preprocess_kernel, n_color=n_color, augment=augment)
-    return pl.pallas_call(
+    # Mosaic wants (8, 128)-tiled VMEM blocks: pack the per-chip color
+    # params into one tile.
+    params = jnp.zeros((b, 8, 128), jnp.float32)
+    params = params.at[:, 0, :c].set(contra)
+    params = params.at[:, 1, :c].set(bright)
+
+    kernel = functools.partial(
+        _recolor_rescale_kernel, n_color=n_color, augment=augment
+    )
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, k, k, c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, k, k, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, k, k, c), jnp.float32),
         interpret=interpret,
-    )(bands, contra, bright, morph)
+    )(bands, params)
+
+    if augment:
+        out = jax.vmap(apply_morph)(out, morph[:, 0] != 0, morph[:, 1] != 0, morph[:, 2])
+    return out

@@ -77,6 +77,44 @@ def load_remote_weights(url: str, target):
     return flax.serialization.from_bytes(target, blob)
 
 
+def save_checkpoint_orbax(path: str, state, metrics=None, step: Optional[int] = None):
+    """Orbax-backed save: sharded-aware, multi-host-safe (each host writes
+    its shards). Use for pod-slice training; msgpack is the single-host
+    default."""
+    import orbax.checkpoint as ocp
+
+    payload = _to_state_dict(state) if hasattr(state, "params") else state
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+    meta = {"step": int(step if step is not None else 0), "metrics": metrics or {}}
+    with open(os.path.join(path, "scv_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint_orbax(path: str, target):
+    """Restore an orbax checkpoint into ``target``'s structure."""
+    import orbax.checkpoint as ocp
+
+    payload = _to_state_dict(target) if hasattr(target, "params") else target
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), payload)
+    meta_path = os.path.join(path, "scv_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if hasattr(target, "params"):
+        state = target.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        return state, meta
+    return restored, meta
+
+
 class CheckpointManager:
     """Keeps ``best`` and ``latest`` checkpoints under a root directory."""
 

@@ -53,6 +53,24 @@ def test_cog_tiled_with_overviews(tmp_path, rng):
     )
 
 
+def test_pil_reads_our_tiff(tmp_path, rng):
+    """Cross-codec validation: PIL (an independent TIFF implementation)
+    must decode our writer's output."""
+    from PIL import Image
+
+    img = rng.integers(0, 255, (40, 30), np.uint8)
+    path = str(tmp_path / "plain.tif")
+    write_geotiff(path, img, compress=False)
+    with Image.open(path) as im:
+        np.testing.assert_array_equal(np.asarray(im), img)
+
+    imgf = rng.normal(size=(25, 20)).astype(np.float32)
+    pathf = str(tmp_path / "float.tif")
+    write_geotiff(pathf, imgf, compress=True)  # deflate
+    with Image.open(pathf) as im:
+        np.testing.assert_allclose(np.asarray(im), imgf, rtol=1e-6)
+
+
 def test_affine_inverse_roundtrip():
     t = Affine(10.0, 0.5, 100.0, -0.2, -10.0, 2000.0)
     x, y = t(13, 27)

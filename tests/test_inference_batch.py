@@ -1,0 +1,49 @@
+import numpy as np
+
+from satellite_computervision_tpu.inference import TiledInferenceEngine
+
+
+def _mean_model(chips):
+    return chips.mean(axis=-1, keepdims=True)
+
+
+def test_predict_scene_batch_matches_single(rng):
+    scenes = rng.normal(size=(3, 160, 160, 2)).astype(np.float32)
+    eng = TiledInferenceEngine(_mean_model, kernel=32, buffer=16, batch_size=4, out_channels=1)
+    batched = np.asarray(eng.predict_scene_batch(scenes))
+    for i in range(3):
+        single = np.asarray(eng.predict_scene(scenes[i]))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_output_transform_uint8(rng):
+    import jax.numpy as jnp
+
+    scenes = rng.uniform(0, 1, (2, 96, 96, 2)).astype(np.float32)
+    eng = TiledInferenceEngine(
+        _mean_model, kernel=32, buffer=16, batch_size=4, out_channels=1,
+        output_transform=lambda p: (p * 255.0).astype(jnp.uint8),
+    )
+    out = np.asarray(eng.predict_scene_batch(scenes))
+    assert out.dtype == np.uint8
+    want = np.asarray(_mean_model(scenes[0]) * 255.0).astype(np.uint8)
+    half = 8
+    np.testing.assert_array_equal(
+        out[0, half:-half, half:-half], want[half:-half, half:-half]
+    )
+
+
+def test_preprocess_uint16_input(rng):
+    import jax.numpy as jnp
+
+    u16 = rng.integers(0, 10000, (96, 96, 3)).astype(np.uint16)
+    eng = TiledInferenceEngine(
+        _mean_model, kernel=32, buffer=16, batch_size=4, out_channels=1,
+        preprocess_fn=lambda s: s.astype(jnp.float32) / 10000.0,
+    )
+    out = np.asarray(eng.predict_scene(u16))
+    want = np.asarray(_mean_model((u16.astype(np.float32) / 10000.0)[None])[0])
+    half = 8
+    np.testing.assert_allclose(
+        out[half:-half, half:-half], want[half:-half, half:-half], rtol=1e-5
+    )
