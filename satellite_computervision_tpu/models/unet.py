@@ -32,6 +32,7 @@ class UNet(nn.Module):
     threshold: float = 0.5
     dropout: Optional[float] = None
     output_bias: Optional[float] = None
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -42,17 +43,23 @@ class UNet(nn.Module):
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = jnp.asarray(x, self.dtype)
 
+        # remat trades recompute for activation memory (jax.checkpoint per
+        # block) — lets 512^2 parking-config batches train within HBM.
+        encoder_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
+        decoder_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+
         skips = []
         for feat, factor in zip(self.filters, self.factors):
-            x, skip = EncoderBlock(feat, pool=(factor, factor), **common)(x, train)
+            x, skip = encoder_cls(feat, pool=(factor, factor), **common)(x, train)
             skips.append(skip)
 
-        x = ConvBlock(self.filters[-1] * 2, **common)(x, train)
+        x = conv_cls(self.filters[-1] * 2, **common)(x, train)
 
         for feat, factor, skip in zip(
             reversed(self.filters), reversed(self.factors), reversed(skips)
         ):
-            x = DecoderBlock(
+            x = decoder_cls(
                 feat, up=(factor, factor), dropout=self.dropout, **common
             )(x, skip, train)
 

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Full-scene prediction CLI — the reference notebooks' inference cells
+(solar cells 75-85: export -> doPrediction -> GeoTIFF/EE upload).
+
+Two input modes:
+  scene: a .npy (H, W, C) scene -> tiled inference -> GeoTIFF/COG
+  patches: a directory of EE-exported TFRecord patches + mixer.json ->
+           batched prediction -> EE-ingestable TFRecords (+ optional tif)
+
+Examples:
+  python scripts/predict.py scene --input scene.npy --ckpt runs/solar \
+      --config solar --output pred.tif --crs EPSG:32617 \
+      --transform 10 0 500000 0 -10 4500000
+  python scripts/predict.py patches --input exports/ --ckpt runs/solar \
+      --config solar --outdir preds/ --base solar_md
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from satellite_computervision_tpu.geo import write_cog, write_geotiff
+from satellite_computervision_tpu.inference import TiledInferenceEngine
+from satellite_computervision_tpu.inference.batch import list_export_files, run_batch_prediction
+from satellite_computervision_tpu.inference.mixer import read_mixer
+from satellite_computervision_tpu.models import UNet
+from satellite_computervision_tpu.train import create_train_state, load_checkpoint
+from satellite_computervision_tpu.train.config import PARKING_CONFIG, SOLAR_CONFIG
+
+CONFIGS = {"solar": SOLAR_CONFIG, "parking": PARKING_CONFIG}
+
+
+def load_model(cfg, ckpt_dir, bf16=True):
+    model = UNet(
+        n_classes=cfg.num_classes,
+        head="sigmoid" if cfg.num_classes == 1 else "softmax",
+        threshold=cfg.threshold,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    state = create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(cfg.bands))),
+        tx=optax.adam(1e-3),
+    )
+    state, meta = load_checkpoint(f"{ckpt_dir}/best", state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    print(f"restored checkpoint (meta: {json.dumps(meta)})")
+    return model, variables
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["scene", "patches"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
+    ap.add_argument("--output", help="scene mode: output .tif path")
+    ap.add_argument("--outdir", help="patches mode: output directory")
+    ap.add_argument("--base", default="pred", help="patches mode: output basename")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--blend", choices=["overwrite", "hann"], default="hann")
+    ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
+    ap.add_argument("--crs", default="")
+    ap.add_argument("--transform", type=float, nargs=6,
+                    help="affine: xscale xshear xtrans yshear yscale ytrans")
+    ap.add_argument("--uint8", action="store_true", help="write probabilities x255 as uint8")
+    args = ap.parse_args(argv)
+
+    cfg = CONFIGS[args.config]
+    model, variables = load_model(cfg, args.ckpt)
+    predict = lambda chips: model.apply(variables, chips)["probs"]
+
+    if args.mode == "scene":
+        scene = np.load(args.input)
+        if scene.ndim == 2:
+            scene = scene[..., None]
+        engine = TiledInferenceEngine(
+            predict, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
+            batch_size=args.batch_size, out_channels=cfg.num_classes,
+            blend=args.blend,
+            output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
+        )
+        pred = np.asarray(engine.predict_scene(scene))
+        out = args.output or "prediction.tif"
+        writer = write_cog if args.cog else write_geotiff
+        writer(out, pred, transform=tuple(args.transform) if args.transform else None,
+               crs=args.crs)
+        print(f"wrote {out} shape={pred.shape}")
+        return
+
+    # patches mode
+    files, mixer_path = list_export_files(args.input)
+    if not files:
+        sys.exit(f"no tfrecords under {args.input!r}")
+    written = run_batch_prediction(
+        args.input, predict, list(cfg.bands),
+        out_dir=args.outdir or "predictions",
+        out_base=args.base,
+        kernel_shape=(cfg.kernel_size, cfg.kernel_size),
+        kernel_buffer=(cfg.kernel_buffer, cfg.kernel_buffer),
+        batch_size=args.batch_size,
+    )
+    print(f"wrote {len(written)} prediction tfrecords")
+    if mixer_path:
+        mixer = read_mixer(mixer_path)
+        print(f"mixer: {mixer.total_patches} patches, "
+              f"upload with: earthengine upload image --asset_id=<id> "
+              f"{' '.join(written)} {mixer_path}")
+
+
+if __name__ == "__main__":
+    main()

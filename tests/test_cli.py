@@ -1,0 +1,134 @@
+"""End-to-end CLI driver tests: train -> checkpoint -> predict."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "scripts")
+
+
+def _write_solar_like_chips(path, n=12, k=64, seed=0):
+    from satellite_computervision_tpu.data import write_tfrecord_file
+
+    rng = np.random.default_rng(seed)
+    bands = ["B2", "B3", "B4", "B8", "B11", "B12"]
+    examples = []
+    for _ in range(n):
+        ex = {b: rng.uniform(0, 0.3, k * k).astype(np.float32) for b in bands}
+        label = np.zeros((k, k), np.float32)
+        label[20:36, 20:40] = 1.0
+        ex["landcover"] = label.reshape(-1)
+        examples.append(ex)
+    write_tfrecord_file(str(path), examples)
+
+
+def test_train_then_predict_cli(tmp_path, monkeypatch):
+    import dataclasses
+
+    import train as train_cli
+    import predict as predict_cli
+
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+
+    # shrink the solar config for CPU speed
+    small = dataclasses.replace(
+        SOLAR_CONFIG, kernel_size=64, kernel_buffer=32, batch_size=4
+    )
+    monkeypatch.setitem(train_cli.CONFIGS, "solar", small)
+    monkeypatch.setitem(predict_cli.CONFIGS, "solar", small)
+    # and a small model
+    import satellite_computervision_tpu.models as models
+
+    orig_unet = models.UNet
+
+    def small_unet(**kw):
+        kw.setdefault("filters", (4, 8))
+        kw.setdefault("factors", (2, 2))
+        return orig_unet(**kw)
+
+    monkeypatch.setattr(train_cli, "UNet", small_unet)
+    monkeypatch.setattr(predict_cli, "UNet", small_unet)
+
+    chips = tmp_path / "train.tfrecord"
+    _write_solar_like_chips(chips)
+    ckpt = str(tmp_path / "run")
+
+    train_cli.main([
+        "--config", "solar", "--train", str(chips), "--eval", str(chips),
+        "--ckpt", ckpt, "--epochs", "1", "--steps-per-epoch", "2",
+        "--batch-size", "4",
+    ])
+    assert (tmp_path / "run" / "best" / "state.msgpack").exists()
+
+    scene = np.random.default_rng(1).uniform(0, 0.3, (160, 160, 6)).astype(np.float32)
+    scene_path = tmp_path / "scene.npy"
+    np.save(scene_path, scene)
+    out_tif = str(tmp_path / "pred.tif")
+    predict_cli.main([
+        "scene", "--input", str(scene_path), "--ckpt", ckpt,
+        "--config", "solar", "--output", out_tif,
+        "--crs", "EPSG:32617", "--transform", "10", "0", "0", "0", "-10", "0",
+        "--batch-size", "4",
+    ])
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    pred, meta = read_geotiff(out_tif)
+    assert pred.shape == (160, 160, 1)
+    assert "32617" in meta["crs"]
+
+
+def test_predict_patches_cli(tmp_path, monkeypatch):
+    import dataclasses
+
+    import predict as predict_cli
+
+    from satellite_computervision_tpu.data import write_tfrecord_file
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+    from satellite_computervision_tpu.train import create_train_state, save_checkpoint
+    import satellite_computervision_tpu.models as models
+    import jax, jax.numpy as jnp, optax
+
+    small = dataclasses.replace(
+        SOLAR_CONFIG, kernel_size=32, kernel_buffer=16, batch_size=4
+    )
+    monkeypatch.setitem(predict_cli.CONFIGS, "solar", small)
+    orig_unet = models.UNet
+
+    def small_unet(**kw):
+        kw.setdefault("filters", (4,))
+        kw.setdefault("factors", (2,))
+        return orig_unet(**kw)
+
+    monkeypatch.setattr(predict_cli, "UNet", small_unet)
+
+    # checkpoint
+    model = small_unet(n_classes=1, head="sigmoid", threshold=0.9, dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 32, 32, 6)),
+                               tx=optax.adam(1e-3))
+    ckpt = str(tmp_path / "run")
+    save_checkpoint(f"{ckpt}/best", state, {"mean_iou": 0.5}, step=1)
+
+    # EE-style export dir: buffered patches + mixer
+    rng = np.random.default_rng(0)
+    export = tmp_path / "export"
+    export.mkdir()
+    side = 32 + 16
+    examples = [
+        {b: rng.uniform(0, 0.3, side * side).astype(np.float32) for b in small.bands}
+        for _ in range(4)
+    ]
+    write_tfrecord_file(str(export / "x-00000.tfrecord"), examples)
+    (export / "x-mixer.json").write_text(json.dumps({
+        "totalPatches": 4, "patchesPerRow": 2, "patchDimensions": [32, 32],
+        "projection": {"affine": {"doubleMatrix": [10, 0, 0, 0, -10, 0]},
+                       "crs": "EPSG:32617"},
+    }))
+
+    predict_cli.main([
+        "patches", "--input", str(export), "--ckpt", ckpt, "--config", "solar",
+        "--outdir", str(tmp_path / "preds"), "--base", "demo", "--batch-size", "2",
+    ])
+    out = list((tmp_path / "preds").glob("demo-*.tfrecords"))
+    assert len(out) == 1
