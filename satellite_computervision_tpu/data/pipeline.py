@@ -36,6 +36,13 @@ class ChipDataset:
     ``feature_names`` lists every band stored per example (features +
     response, the EE export schema of fixed-length float lists,
     utils/processing.py:394-419); each is reshaped to ``(kernel, kernel)``.
+
+    ``workers > 1`` decodes files on a thread pool (the tf.data
+    ``num_parallel_calls=5`` analog, utils/processing.py:417): gzip and
+    the native codec release the GIL, so decode overlaps across files and
+    with the training step. Files complete out of order — acceptable
+    because training shuffles anyway; keep ``workers=1`` for deterministic
+    order.
     """
 
     def __init__(
@@ -44,19 +51,44 @@ class ChipDataset:
         feature_names: Sequence[str],
         kernel_size: int = 256,
         compression: Optional[str] = "GZIP",
+        workers: int = 1,
     ):
         self.files = list(files)
         self.feature_names = list(feature_names)
         self.kernel_size = kernel_size
         self.compression = compression
+        self.workers = workers
 
-    def __iter__(self):
+    def _read_file(self, path):
         from satellite_computervision_tpu.data.tfrecord import read_float_examples
 
         k = self.kernel_size
-        for path in self.files:
-            for row in read_float_examples(path, self.feature_names, self.compression):
-                yield {name: arr.reshape(k, k) for name, arr in row.items()}
+        return [
+            {name: arr.reshape(k, k) for name, arr in row.items()}
+            for row in read_float_examples(path, self.feature_names, self.compression)
+        ]
+
+    def __iter__(self):
+        if self.workers <= 1 or len(self.files) <= 1:
+            for path in self.files:
+                yield from self._read_file(path)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.workers) as pool:
+            # bounded in-flight window preserves memory while overlapping
+            pending = []
+            files = iter(self.files)
+            for path in files:
+                pending.append(pool.submit(self._read_file, path))
+                if len(pending) >= self.workers:
+                    break
+            while pending:
+                done = pending.pop(0)
+                nxt = next(files, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._read_file, nxt))
+                yield from done.result()
 
 
 def make_preprocess_fn(

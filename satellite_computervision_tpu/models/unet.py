@@ -45,9 +45,14 @@ class UNet(nn.Module):
 
         # remat trades recompute for activation memory (jax.checkpoint per
         # block) — lets 512^2 parking-config batches train within HBM.
-        encoder_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
-        conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
-        decoder_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+        # static_argnums=2: the `train` flag stays a Python bool (BatchNorm
+        # branches on it).
+        if self.remat:
+            encoder_cls = nn.remat(EncoderBlock, static_argnums=(2,))
+            conv_cls = nn.remat(ConvBlock, static_argnums=(2,))
+            decoder_cls = nn.remat(DecoderBlock, static_argnums=(3,))
+        else:
+            encoder_cls, conv_cls, decoder_cls = EncoderBlock, ConvBlock, DecoderBlock
 
         skips = []
         for feat, factor in zip(self.filters, self.factors):

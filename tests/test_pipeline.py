@@ -93,6 +93,35 @@ def test_training_iterator_repeats_and_batches(tmp_path):
         assert batch["B2"].shape == (2, K, K)
 
 
+def test_parallel_workers_same_examples(tmp_path):
+    """Thread-pool decode yields the same multiset of examples."""
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.tfrecord"
+        _write_chips(p, n=4, seed=i)
+        paths.append(str(p))
+    serial = list(ChipDataset(paths, BANDS + ["landcover"], kernel_size=K, workers=1))
+    parallel = list(ChipDataset(paths, BANDS + ["landcover"], kernel_size=K, workers=3))
+    assert len(serial) == len(parallel) == 12
+    key = lambda ex: ex["B2"].tobytes()
+    assert sorted(map(key, serial)) == sorted(map(key, parallel))
+
+
+def test_unet_remat_forward_matches():
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu.models import UNet
+
+    x = jax.random.normal(jax.random.key(0), (1, 16, 16, 3))
+    base = UNet(n_classes=1, filters=(4,), factors=(2,), head="sigmoid")
+    remat = UNet(n_classes=1, filters=(4,), factors=(2,), head="sigmoid", remat=True)
+    v = base.init(jax.random.key(1), x)
+    a = base.apply(v, x)["logits"]
+    b = remat.apply(v, x)["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 def test_eval_iterator_single_pass(tmp_path):
     path = tmp_path / "c.tfrecord"
     _write_chips(path, n=4)
