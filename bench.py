@@ -61,9 +61,9 @@ def build_model():
     return model, variables
 
 
-def bench_ours(model, variables, scenes, repeats=3):
+def make_engine(model, variables):
     predict = lambda chips: model.apply(variables, chips)["probs"]
-    engine = TiledInferenceEngine(
+    return TiledInferenceEngine(
         predict,
         kernel=KERNEL,
         buffer=BUFFER,
@@ -74,6 +74,10 @@ def bench_ours(model, variables, scenes, repeats=3):
         preprocess_fn=lambda s: s.astype(jnp.float32) / 10000.0,
         output_transform=lambda p: (p * 255.0).astype(jnp.uint8),
     )
+
+
+def bench_ours(model, variables, scenes, repeats=3):
+    engine = make_engine(model, variables)
     stack = np.stack(scenes)  # (S, H, W, BANDS) uint16
     # compile + warm (np.asarray: this backend's block_until_ready does not
     # reliably wait; a D2H read does)
@@ -141,5 +145,42 @@ def main():
     )
 
 
+def overlap_experiment():
+    """--overlap: can thread-staged H2D hide behind compute on this relay?"""
+    import threading
+
+    rng = np.random.default_rng(0)
+    stacks = [
+        rng.integers(0, 3000, (N_SCENES, SCENE, SCENE, BANDS)).astype(np.uint16)
+        for _ in range(2)
+    ]
+    model, variables = build_model()
+    engine = make_engine(model, variables)
+    np.asarray(engine.predict_scene_batch(stacks[0]))  # warm via cache
+
+    t0 = time.perf_counter()
+    for s in stacks * 2:
+        np.asarray(engine.predict_scene_batch(s))
+    serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    staged = jax.device_put(stacks[0])
+    for i in range(4):
+        holder = {}
+        th = threading.Thread(
+            target=lambda: holder.setdefault("d", jax.device_put(stacks[(i + 1) % 2]))
+        )
+        th.start()
+        np.asarray(engine.predict_scene_batch(staged))
+        th.join()
+        staged = holder["d"]
+    piped = time.perf_counter() - t0
+    print(f"serial 4 sweeps: {serial:.2f}s; thread-staged: {piped:.2f}s "
+          f"({serial / piped:.2f}x)")
+
+
 if __name__ == "__main__":
+    if "--overlap" in sys.argv:
+        overlap_experiment()
+        sys.exit(0)
     sys.exit(main())

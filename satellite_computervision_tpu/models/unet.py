@@ -54,18 +54,24 @@ class UNet(nn.Module):
         else:
             encoder_cls, conv_cls, decoder_cls = EncoderBlock, ConvBlock, DecoderBlock
 
+        # explicit names keep the param tree identical with and without
+        # remat (nn.remat otherwise scopes under "remat(...)"), so remat
+        # and plain checkpoints interchange
         skips = []
-        for feat, factor in zip(self.filters, self.factors):
-            x, skip = encoder_cls(feat, pool=(factor, factor), **common)(x, train)
+        for i, (feat, factor) in enumerate(zip(self.filters, self.factors)):
+            x, skip = encoder_cls(
+                feat, pool=(factor, factor), name=f"EncoderBlock_{i}", **common
+            )(x, train)
             skips.append(skip)
 
-        x = conv_cls(self.filters[-1] * 2, **common)(x, train)
+        x = conv_cls(self.filters[-1] * 2, name="ConvBlock_0", **common)(x, train)
 
-        for feat, factor, skip in zip(
-            reversed(self.filters), reversed(self.factors), reversed(skips)
+        for i, (feat, factor, skip) in enumerate(
+            zip(reversed(self.filters), reversed(self.factors), reversed(skips))
         ):
             x = decoder_cls(
-                feat, up=(factor, factor), dropout=self.dropout, **common
+                feat, up=(factor, factor), dropout=self.dropout,
+                name=f"DecoderBlock_{i}", **common,
             )(x, skip, train)
 
         if self.dropout is not None:
