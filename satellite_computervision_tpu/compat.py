@@ -26,6 +26,7 @@ from satellite_computervision_tpu.ops.augment import (  # noqa: F401
     aug_morph as aug_tensor_morph,   # processing.py:169
     aug_color as aug_array_color,    # array_tools.py:159
     aug_morph as aug_array_morph,    # array_tools.py:186
+    aug_color_hsv as augColor,       # processing.py:154
 )
 from satellite_computervision_tpu.ops.normalize import (  # noqa: F401
     normalize_image as normalize_tensor,   # processing.py:225

@@ -11,6 +11,9 @@ from satellite_computervision_tpu.ops.normalize import (
 )
 from satellite_computervision_tpu.ops.augment import (
     aug_color,
+    aug_color_hsv,
+    rgb_to_hsv,
+    hsv_to_rgb,
     aug_morph,
     draw_morph_params,
     apply_morph,
@@ -36,6 +39,9 @@ __all__ = [
     "rescale_image",
     "normalize_timeseries",
     "aug_color",
+    "aug_color_hsv",
+    "rgb_to_hsv",
+    "hsv_to_rgb",
     "aug_morph",
     "draw_morph_params",
     "apply_morph",

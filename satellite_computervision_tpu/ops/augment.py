@@ -52,6 +52,81 @@ def aug_color(
     return (img - ch_mean) * contra_mul + ch_mean * bright_mul
 
 
+def rgb_to_hsv(rgb):
+    """Channels-last RGB [0,1] -> HSV, matching tf.image.rgb_to_hsv."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    safe = jnp.where(delta == 0, 1.0, delta)
+    s = jnp.where(maxc == 0, 0.0, delta / jnp.where(maxc == 0, 1.0, maxc))
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    """HSV -> RGB, matching tf.image.hsv_to_rgb."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def aug_color_hsv(
+    key,
+    img,
+    max_hue_delta: float = 0.05,
+    saturation_range=(0.6, 1.6),
+    max_brightness_delta: float = 0.05,
+    contrast_range=(0.7, 1.3),
+):
+    """HSV-space color augmentation for RGB imagery.
+
+    The reference's `augColor` (utils/processing.py:154-167): random hue
+    shift, saturation scale, brightness delta, contrast scale — the
+    tf.image.random_* chain in the same order, as one jittable function.
+    """
+    img = jnp.asarray(img)
+    hkey, skey, bkey, ckey = jax.random.split(key, 4)
+
+    hsv = rgb_to_hsv(img)
+    hue = (hsv[..., 0] + jax.random.uniform(
+        hkey, (), minval=-max_hue_delta, maxval=max_hue_delta, dtype=img.dtype
+    )) % 1.0
+    sat = jnp.clip(
+        hsv[..., 1]
+        * jax.random.uniform(
+            skey, (), minval=saturation_range[0], maxval=saturation_range[1], dtype=img.dtype
+        ),
+        0.0,
+        1.0,
+    )
+    x = hsv_to_rgb(jnp.stack([hue, sat, hsv[..., 2]], axis=-1))
+
+    x = x + jax.random.uniform(
+        bkey, (), minval=-max_brightness_delta, maxval=max_brightness_delta, dtype=img.dtype
+    )
+    contrast = jax.random.uniform(
+        ckey, (), minval=contrast_range[0], maxval=contrast_range[1], dtype=img.dtype
+    )
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * contrast + mean
+
+
 def draw_morph_params(key):
     """Draw (flip_v, flip_h, n_rot90) exactly as the reference does.
 

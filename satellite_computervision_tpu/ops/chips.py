@@ -113,6 +113,12 @@ def stitch_chips(
     the halo); ``indices`` the matching (N, 2) central-window corners;
     ``out_shape`` the (H, W, C_out) scene shape.
 
+    NOTE: this is the semantic reference implementation (scan of dynamic
+    updates — simple, shape-agnostic). The production engine
+    (inference.tiles.TiledInferenceEngine) stitches via reshape/transpose
+    on the regular grid instead, which measured ~50x faster on v5e; use
+    the engine for real scenes.
+
     blend modes:
     - ``"overwrite"``: place the central crop — the TPU-native equivalent of
       the reference's disjoint ``+=`` placement (utils/prediction_tools.py:

@@ -12,8 +12,10 @@ from satellite_computervision_tpu.parallel.mesh import (
     data_sharding,
     replicate,
     shard_batch,
+    host_local_batch_to_global,
     initialize_distributed,
 )
+from satellite_computervision_tpu.parallel.spatial import make_spatial_inference
 from satellite_computervision_tpu.parallel.data_parallel import (
     make_parallel_train_step,
     shard_train_state,
@@ -28,9 +30,11 @@ __all__ = [
     "data_sharding",
     "replicate",
     "shard_batch",
+    "host_local_batch_to_global",
     "initialize_distributed",
     "make_parallel_train_step",
     "shard_train_state",
     "make_sharded_predict_fn",
     "ShardedTiledInference",
+    "make_spatial_inference",
 ]

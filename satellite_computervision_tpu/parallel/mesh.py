@@ -47,6 +47,23 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def host_local_batch_to_global(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a globally-sharded batch from per-host local shards.
+
+    On a multi-host slice each process loads only its slice of the global
+    batch (host-side data sharding, SURVEY.md §2.9); this stitches the
+    local arrays into global jax.Arrays laid out along the data axis.
+    Single-process meshes fall back to a plain sharded device_put.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def initialize_distributed(coordinator: Optional[str] = None, **kwargs):
     """Multi-host bootstrap (SURVEY.md §2.9): call once per process before
     building meshes on a multi-host TPU slice. No-op for single-process."""

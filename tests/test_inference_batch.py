@@ -33,6 +33,51 @@ def test_output_transform_uint8(rng):
     )
 
 
+def test_predict_scenes_stream_order(rng):
+    scenes = [rng.normal(size=(96, 96, 2)).astype(np.float32) for _ in range(4)]
+    # tag each scene so order is observable
+    for i, s in enumerate(scenes):
+        s[0, 0, 0] = float(i + 1) * 100.0
+    eng = TiledInferenceEngine(
+        lambda c: c.mean(-1, keepdims=True) * 0 + c[:, :1, :1, :1].mean(),
+        kernel=32, buffer=16, batch_size=4, out_channels=1,
+    )
+    outs = list(eng.predict_scenes(iter(scenes), prefetch=2))
+    assert len(outs) == 4
+    # outputs arrive in input order (prefetch must not reorder)
+    means = [float(np.asarray(o).mean()) for o in outs]
+    assert means == sorted(means)
+
+
+def test_engine_shape_fuzz(rng):
+    """Randomized shapes/modes: output shape always matches, no crashes,
+    interior matches the pointwise model."""
+    for trial in range(6):
+        k = int(rng.choice([16, 32]))
+        b = int(rng.choice([8, 16]))
+        if b > k:
+            continue
+        h = int(rng.integers(k + b + 1, 150))
+        w = int(rng.integers(k + b + 1, 150))
+        c = int(rng.integers(1, 4))
+        blend = str(rng.choice(["overwrite", "hann"]))
+        scene = rng.normal(size=(h, w, c)).astype(np.float32)
+        eng = TiledInferenceEngine(
+            _mean_model, kernel=k, buffer=b, batch_size=3,
+            out_channels=1, blend=blend,
+        )
+        out = np.asarray(eng.predict_scene(scene))
+        assert out.shape == (h, w, 1), (trial, k, b, h, w, blend)
+        half = b // 2
+        want = scene.mean(-1, keepdims=True)
+        np.testing.assert_allclose(
+            out[half:-half, half:-half],
+            want[half:-half, half:-half],
+            rtol=1e-3, atol=1e-4,
+            err_msg=f"trial {trial}: k={k} b={b} h={h} w={w} {blend}",
+        )
+
+
 def test_preprocess_uint16_input(rng):
     import jax.numpy as jnp
 

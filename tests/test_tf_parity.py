@@ -95,6 +95,30 @@ def test_one_hot_matches_tf():
     np.testing.assert_array_equal(got, want)
 
 
+def test_hsv_conversions_match_tf():
+    from satellite_computervision_tpu.ops import hsv_to_rgb, rgb_to_hsv
+
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    hsv_tf = tf.image.rgb_to_hsv(tf.constant(rgb)).numpy()
+    np.testing.assert_allclose(np.asarray(rgb_to_hsv(rgb)), hsv_tf, atol=1e-5)
+    back_tf = tf.image.hsv_to_rgb(tf.constant(hsv_tf)).numpy()
+    np.testing.assert_allclose(np.asarray(hsv_to_rgb(hsv_tf)), back_tf, atol=1e-5)
+
+
+def test_aug_color_hsv_valid_range():
+    from satellite_computervision_tpu.ops import aug_color_hsv
+
+    rng = np.random.default_rng(4)
+    rgb = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+    out = np.asarray(aug_color_hsv(jax.random.key(0), rgb))
+    assert out.shape == rgb.shape and np.isfinite(out).all()
+    # same key -> same result; different key -> different
+    out2 = np.asarray(aug_color_hsv(jax.random.key(0), rgb))
+    np.testing.assert_array_equal(out, out2)
+    assert not np.array_equal(out, np.asarray(aug_color_hsv(jax.random.key(1), rgb)))
+
+
 def test_ndvi_matches_tf():
     rng = np.random.default_rng(2)
     nir = rng.uniform(0, 1, (16, 16)).astype(np.float32)
