@@ -78,6 +78,10 @@ class TiledInferenceEngine:
             raise ValueError(f"unknown index mode {index_mode!r}")
         if blend == "hann" and buffer > kernel:
             raise ValueError("hann blending requires buffer <= kernel")
+        if buffer % 2:
+            raise ValueError("buffer must be even (halo is buffer/2 per side)")
+        if kernel <= 0 or batch_size <= 0:
+            raise ValueError("kernel and batch_size must be positive")
         self.predict_fn = predict_fn
         self.kernel = kernel
         self.buffer = buffer

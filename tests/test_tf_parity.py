@@ -95,6 +95,50 @@ def test_one_hot_matches_tf():
     np.testing.assert_array_equal(got, want)
 
 
+def test_convlstm_matches_keras():
+    """Our scanned ConvLSTM cell vs keras ConvLSTM2D with identical
+    weights and the reference's configuration (activation=None,
+    hard_sigmoid recurrent activation, unit forget bias)."""
+    import jax
+
+    from satellite_computervision_tpu.models.convlstm import ConvLSTM
+
+    rng = np.random.default_rng(5)
+    b, t, h, w, c, f = 2, 3, 8, 8, 3, 4
+    x = rng.normal(0, 0.5, (b, t, h, w, c)).astype(np.float32)
+
+    ours = ConvLSTM(features=f, return_sequences=True)
+    variables = ours.init(jax.random.key(0), jnp.asarray(x))
+    seq_ours, (c_last, h_last) = ours.apply(variables, jnp.asarray(x))
+
+    cell = variables["params"]["cell"]
+    kernel = np.asarray(cell["input_conv"]["kernel"])       # (3,3,C,4F)
+    rec_kernel = np.asarray(cell["recurrent_conv"]["kernel"])  # (3,3,F,4F)
+    bias = np.asarray(cell["input_conv"]["bias"])           # (4F,)
+
+    # Keras 3 redefined hard_sigmoid as relu6(x+3)/6; the reference ran on
+    # Keras 2.x whose hard_sigmoid was clip(0.2x + 0.5, 0, 1) — pin that
+    # form (which our cell implements) explicitly.
+    legacy_hard_sigmoid = lambda x: tf.clip_by_value(0.2 * x + 0.5, 0.0, 1.0)
+    keras_layer = tf.keras.layers.ConvLSTM2D(
+        filters=f, kernel_size=(3, 3), padding="same",
+        activation=None, recurrent_activation=legacy_hard_sigmoid,
+        return_sequences=True, return_state=True, unit_forget_bias=True,
+    )
+    keras_layer.build((b, t, h, w, c))
+    # keras gate order is i, f, c, o — same as our split; keras adds its
+    # stored forget bias (init 1) while our cell adds the constant 1, so
+    # copy our bias and bump the forget block by +1.
+    kbias = bias.copy()
+    kbias[f : 2 * f] += 1.0
+    keras_layer.set_weights([kernel, rec_kernel, kbias])
+    seq_tf, h_tf, c_tf = keras_layer(tf.constant(x))
+
+    np.testing.assert_allclose(np.asarray(seq_ours), seq_tf.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_last), h_tf.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c_last), c_tf.numpy(), atol=2e-4)
+
+
 def test_hsv_conversions_match_tf():
     from satellite_computervision_tpu.ops import hsv_to_rgb, rgb_to_hsv
 
