@@ -159,11 +159,15 @@ class UNetChipDataset(_BaseChipDataset):
         if source.divisor:
             arrays = [a / source.divisor for a in arrays]
         batch = np.stack(arrays)  # (B, C, H, W)
-        if source.nan_mask and self.to_fit:
+        if source.nan_mask:
+            # mask channel is appended in BOTH fit and predict modes so the
+            # model input width is stable (utils/processing.py:553-584);
+            # invalid pixels are random-filled only while fitting
             invalid = ~np.isfinite(batch) | (batch < -5000)
             mask = invalid.any(axis=1, keepdims=True).astype(np.float32)  # (B,1,H,W)
-            fill = self._rng.standard_normal(batch.shape).astype(np.float32)
-            batch = np.where(invalid, fill, batch)
+            if self.to_fit:
+                fill = self._rng.standard_normal(batch.shape).astype(np.float32)
+                batch = np.where(invalid, fill, batch)
             batch = np.concatenate([batch, mask], axis=1)
         if not np.isfinite(batch).all():
             raise ValueError("NaNs in batch (source without nan_mask)")

@@ -71,6 +71,8 @@ def make_spatial_inference(
             .reshape(rows * kernel, cols * kernel, c_out)
         )
 
+    compiled = {}
+
     def run(scene):
         h, w, c = scene.shape
         # global geometry: rows per device, a multiple of kernel
@@ -89,28 +91,33 @@ def make_spatial_inference(
         top_halo = scene_p[:half]
         bottom_halo = scene_p[half + h_pad :]
 
-        @functools.partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(axis, None, None), P(None, None, None), P(None, None, None)),
-            out_specs=P(axis, None, None),
-        )
-        def sharded(local, top, bottom):
-            # halo exchange over ICI: my first/last `half` rows go to my
-            # neighbors; edge devices take the global edge-padding instead.
-            idx = jax.lax.axis_index(axis)
-            down = jax.lax.ppermute(
-                local[-half:], axis, [(i, i + 1) for i in range(n_dev - 1)]
-            )
-            up = jax.lax.ppermute(
-                local[:half], axis, [(i + 1, i) for i in range(n_dev - 1)]
-            )
-            prev_rows = jnp.where(idx == 0, top, down)
-            next_rows = jnp.where(idx == n_dev - 1, bottom, up)
-            band = jnp.concatenate([prev_rows, local, next_rows], axis=0)
-            return local_band_predict(band, cols)
+        shape_key = (h, w, c)
+        if shape_key not in compiled:
 
-        out = jax.jit(sharded)(core, top_halo, bottom_halo)
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis, None, None), P(None, None, None), P(None, None, None)),
+                out_specs=P(axis, None, None),
+            )
+            def sharded(local, top, bottom):
+                # halo exchange over ICI: my first/last `half` rows go to
+                # my neighbors; edge devices take the global edge-padding.
+                idx = jax.lax.axis_index(axis)
+                down = jax.lax.ppermute(
+                    local[-half:], axis, [(i, i + 1) for i in range(n_dev - 1)]
+                )
+                up = jax.lax.ppermute(
+                    local[:half], axis, [(i + 1, i) for i in range(n_dev - 1)]
+                )
+                prev_rows = jnp.where(idx == 0, top, down)
+                next_rows = jnp.where(idx == n_dev - 1, bottom, up)
+                band = jnp.concatenate([prev_rows, local, next_rows], axis=0)
+                return local_band_predict(band, cols)
+
+            compiled[shape_key] = jax.jit(sharded)
+
+        out = compiled[shape_key](core, top_halo, bottom_halo)
         return out[:h, :w]
 
     return run
