@@ -29,20 +29,21 @@ from satellite_computervision_tpu.geo import write_cog, write_geotiff
 from satellite_computervision_tpu.inference import TiledInferenceEngine
 from satellite_computervision_tpu.inference.batch import list_export_files, run_batch_prediction
 from satellite_computervision_tpu.inference.mixer import read_mixer
-from satellite_computervision_tpu.models import UNet
+from satellite_computervision_tpu.models import DeepLabV3Plus, UNet
 from satellite_computervision_tpu.train import create_train_state, load_checkpoint
 from satellite_computervision_tpu.train.config import PARKING_CONFIG, SOLAR_CONFIG
 
 CONFIGS = {"solar": SOLAR_CONFIG, "parking": PARKING_CONFIG}
 
 
-def load_model(cfg, ckpt_dir, bf16=True):
-    model = UNet(
+def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
+    kwargs = dict(
         n_classes=cfg.num_classes,
         head="sigmoid" if cfg.num_classes == 1 else "softmax",
         threshold=cfg.threshold,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
+    model = DeepLabV3Plus(**kwargs) if arch == "deeplab" else UNet(**kwargs)
     state = create_train_state(
         model, jax.random.key(0),
         jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(cfg.bands))),
@@ -60,6 +61,7 @@ def main(argv=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
+    ap.add_argument("--model", choices=["unet", "deeplab"], default="unet")
     ap.add_argument("--output", help="scene mode: output .tif path")
     ap.add_argument("--outdir", help="patches mode: output directory")
     ap.add_argument("--base", default="pred", help="patches mode: output basename")
@@ -73,7 +75,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
-    model, variables = load_model(cfg, args.ckpt)
+    model, variables = load_model(cfg, args.ckpt, arch=args.model)
     predict = lambda chips: model.apply(variables, chips)["probs"]
 
     if args.mode == "scene":

@@ -19,7 +19,7 @@ import optax
 
 from satellite_computervision_tpu.data import get_eval_dataset, get_training_dataset
 from satellite_computervision_tpu.data.pipeline import make_preprocess_fn
-from satellite_computervision_tpu.models import UNet, losses
+from satellite_computervision_tpu.models import DeepLabV3Plus, UNet, losses
 from satellite_computervision_tpu.train import (
     CheckpointManager,
     Trainer,
@@ -34,6 +34,9 @@ CONFIGS = {"solar": SOLAR_CONFIG, "parking": PARKING_CONFIG}
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
+    ap.add_argument("--model", choices=["unet", "deeplab"], default="unet",
+                    help="deeplab = DeepLab-v3+ResNet50 (the parking-lot "
+                    "config of BASELINE.json #2)")
     ap.add_argument("--train", required=True, help="glob of training TFRecords")
     ap.add_argument("--eval", help="glob of eval TFRecords")
     ap.add_argument("--ckpt", default="runs/default", help="checkpoint root")
@@ -64,13 +67,17 @@ def main(argv=None):
     )
     preprocess = make_preprocess_fn(bands, cfg.response, axes=cfg.axes, splits=cfg.splits)
 
-    model = UNet(
-        n_classes=cfg.num_classes,
-        head="sigmoid" if cfg.num_classes == 1 else "softmax",
-        threshold=cfg.threshold,
-        remat=args.remat,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
+    head = "sigmoid" if cfg.num_classes == 1 else "softmax"
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.model == "deeplab":
+        model = DeepLabV3Plus(
+            n_classes=cfg.num_classes, head=head, threshold=cfg.threshold, dtype=dtype
+        )
+    else:
+        model = UNet(
+            n_classes=cfg.num_classes, head=head, threshold=cfg.threshold,
+            remat=args.remat, dtype=dtype,
+        )
     state = create_train_state(
         model, jax.random.key(args.seed),
         jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(bands))),
