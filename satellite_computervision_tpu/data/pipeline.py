@@ -248,8 +248,9 @@ def get_training_dataset(
     repeat: bool = True,
     seed: int = 0,
     compression: Optional[str] = "GZIP",
+    workers: int = 2,
 ) -> TrainIterator:
-    ds = ChipDataset(files, feature_names, kernel_size, compression)
+    ds = ChipDataset(files, feature_names, kernel_size, compression, workers=workers)
     return TrainIterator(ds, batch_size, shuffle_buffer, repeat, seed)
 
 
