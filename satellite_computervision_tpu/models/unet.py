@@ -33,6 +33,14 @@ class UNet(nn.Module):
     dropout: Optional[float] = None
     output_bias: Optional[float] = None
     remat: bool = False
+    # Space-to-depth stem: fold 2x2 pixel blocks into channels before the
+    # first conv (H, W, C) -> (H/2, W/2, 4C) and restore resolution with a
+    # learned 2x upsample before the head. The first conv level then runs
+    # at quarter the spatial positions with 4x the input channels — much
+    # better MXU lane utilization for 3-6-band imagery (the classic TPU
+    # ResNet stem optimization). An architectural variant, not a
+    # weight-compatible transform of the plain UNet.
+    space_to_depth: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -42,6 +50,16 @@ class UNet(nn.Module):
             raise ValueError("filters and factors must be the same length")
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = jnp.asarray(x, self.dtype)
+
+        if self.space_to_depth:
+            b, h, w, c = x.shape
+            if h % 2 or w % 2:
+                raise ValueError("space_to_depth needs even spatial dims")
+            x = (
+                x.reshape(b, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w // 2, 4 * c)
+            )
 
         # remat trades recompute for activation memory (jax.checkpoint per
         # block) — lets 512^2 parking-config batches train within HBM.
@@ -73,6 +91,21 @@ class UNet(nn.Module):
                 feat, up=(factor, factor), dropout=self.dropout,
                 name=f"DecoderBlock_{i}", **common,
             )(x, skip, train)
+
+        if self.space_to_depth:
+            x = nn.ConvTranspose(
+                self.filters[0], (2, 2), strides=(2, 2), padding="SAME",
+                dtype=self.dtype, name="stem_upsample",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                axis_name=self.bn_axis_name if train else None,
+                name="stem_upsample_bn",
+            )(x)
+            x = nn.relu(x)
 
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(x)

@@ -46,6 +46,19 @@ def test_unet_output_bias():
     np.testing.assert_allclose(bias, -2.0)
 
 
+def test_unet_space_to_depth_variant():
+    model = UNet(n_classes=2, filters=(4, 8), factors=(2, 2), head="softmax",
+                 space_to_depth=True)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(KEY, x)
+    out = model.apply(variables, x)
+    assert out["probs"].shape == (1, 16, 16, 2)
+    assert "stem_upsample" in variables["params"]
+    with pytest.raises(ValueError):
+        bad = UNet(n_classes=1, filters=(4,), factors=(2,), space_to_depth=True)
+        bad.init(KEY, jnp.zeros((1, 15, 15, 3)))
+
+
 def test_unet_train_mode_updates_batch_stats():
     model = UNet(n_classes=1, filters=(4,), factors=(2,), head="sigmoid")
     x = jax.random.normal(KEY, (2, 8, 8, 2))
