@@ -110,3 +110,55 @@ def lda_score(img, intercept, band_names, coefficients):
     bands = img.select(band_names)
     coeffs = ee.Dictionary.fromLists(band_names, coefficients).toImage(band_names)
     return bands.multiply(coeffs).addBands(ee.Image(intercept)).reduce(ee.Reducer.sum())
+
+
+def export_image_patches(
+    image,
+    bucket: str,
+    path: str,
+    base: str,
+    region,
+    kernel_size: int = 256,
+    kernel_buffer: Sequence[int] = (128, 128),
+    scale: int = 10,
+    max_pixels: float = 1e13,
+):
+    """Start the TFRecord patch export that feeds batch prediction — the
+    solar notebook's doExport (cells 75-83): overlapping
+    (kernel + buffer)^2 patches + mixer JSON into GCS. Returns the started
+    ee.batch.Task; poll with :func:`wait_for_task`. Consume the results
+    with inference.batch.run_batch_prediction."""
+    ee = _ee()
+    task = ee.batch.Export.image.toCloudStorage(
+        image=image,
+        description=base,
+        bucket=bucket,
+        fileNamePrefix=f"{path}/{base}",
+        region=region,
+        scale=scale,
+        fileFormat="TFRecord",
+        maxPixels=max_pixels,
+        formatOptions={
+            "patchDimensions": [kernel_size, kernel_size],
+            "kernelSize": list(kernel_buffer),
+            "compressed": True,
+            "maxFileSize": 104857600,
+        },
+    )
+    task.start()
+    return task
+
+
+def wait_for_task(task, poll_seconds: int = 30, log_fn=print):
+    """Block until an EE batch task completes (the notebook's 30 s polling
+    loop, solar cell 75); raises on FAILED/CANCELLED."""
+    import time as _time
+
+    while task.active():
+        log_fn(f"task {task.id}: running...")
+        _time.sleep(poll_seconds)
+    status = task.status()
+    if status.get("state") != "COMPLETED":
+        raise RuntimeError(f"EE task {task.id} ended {status.get('state')}: "
+                           f"{status.get('error_message')}")
+    return status
