@@ -311,7 +311,12 @@ class TiledInferenceEngine:
     def _predict_banded(self, scene):
         """Stream a tall scene in full-width bands with halo overlap,
         bounding device memory (the Dask-chunking analog,
-        utils/pc_tools.py:707-718, without workers or model re-downloads)."""
+        utils/pc_tools.py:707-718, without workers or model re-downloads).
+
+        With ``blend="hann"`` the rows within buffer/2 of a band splice
+        normalize over that band's chips only, so values there can differ
+        slightly from a whole-scene pass (still correctly weighted);
+        ``overwrite`` is bit-identical to the whole-scene result."""
         h, w, _ = scene.shape
         kernel, buffer = self.kernel, self.buffer
         half = buffer // 2

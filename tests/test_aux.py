@@ -177,6 +177,42 @@ def test_arrays_to_cog(tmp_path, rng):
     assert meta["nodata"] == 255.0
 
 
+def test_multiclass_scene_to_cog_roundtrip(tmp_path, rng):
+    """Integration: multiclass engine output -> COG -> read -> per-class
+    stats (the land-cover deployment shape)."""
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu.geo import read_geotiff, write_cog
+    from satellite_computervision_tpu.inference import TiledInferenceEngine
+    from satellite_computervision_tpu.train.evaluate import evaluate_confusion
+
+    nclass = 3
+    scene = rng.uniform(0, 1, (160, 160, 2)).astype(np.float32)
+
+    def predict(chips):
+        # toy 3-class "model": bucket the mean band value
+        score = chips.mean(-1, keepdims=True)
+        return jnp.concatenate(
+            [(score < 0.33), (score >= 0.33) & (score < 0.66), score >= 0.66],
+            axis=-1,
+        ).astype(jnp.float32)
+
+    engine = TiledInferenceEngine(
+        predict, kernel=32, buffer=16, batch_size=4, out_channels=nclass
+    )
+    probs = np.asarray(engine.predict_scene(scene))
+    classes = probs.argmax(-1).astype(np.uint8)
+
+    out = str(tmp_path / "landcover.tif")
+    write_cog(out, classes, transform=(10, 0, 0, 0, -10, 0), crs="EPSG:32617")
+    back, meta = read_geotiff(out)
+    np.testing.assert_array_equal(back[..., 0], classes)
+
+    truth = np.digitize(scene.mean(-1), [0.33, 0.66])
+    report = evaluate_confusion(lambda x: back[None, ..., 0], [(None, truth[None])], nclass)
+    assert report["overall"]["accuracy"] > 0.95
+
+
 def test_retrain_freeze_and_resume(tmp_path, rng):
     from satellite_computervision_tpu.models import UNet, losses
     from satellite_computervision_tpu.train import create_train_state, save_checkpoint

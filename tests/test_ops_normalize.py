@@ -47,6 +47,17 @@ def test_normalize_splits_passthrough(rng):
     np.testing.assert_array_equal(got[..., 4:], x[..., 4:])
 
 
+def test_normalize_splits_with_moments(rng):
+    """Explicit moments split into per-group slices when covering all
+    grouped channels."""
+    x = rng.normal(0.0, 1.0, (4, 4, 4)).astype(np.float32)
+    moments = [(0.0, 1.0), (1.0, 4.0), (2.0, 9.0), (3.0, 16.0)]
+    got = np.asarray(normalize_image(x, moments=moments, splits=[2, 2]))
+    mean = np.array([0.0, 1.0, 2.0, 3.0], np.float32)
+    var = np.array([1.0, 4.0, 9.0, 16.0], np.float32)
+    np.testing.assert_allclose(got, (x - mean) / np.sqrt(var + 1e-8), rtol=1e-5)
+
+
 def test_normalize_nan_aware_std_form(rng):
     """NumPy-twin flavor: nanmean/nanstd and (std + eps) denominator
     (utils/array_tools.py:84-95)."""
