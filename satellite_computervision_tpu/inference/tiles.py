@@ -102,7 +102,7 @@ class TiledInferenceEngine:
         self._compiled_batch = {}
 
     # ------------------------------------------------------------------
-    def _build(self, scene_shape):
+    def _build(self, scene_shape, scene_dtype=jnp.float32):
         kernel, buffer = self.kernel, self.buffer
         side = kernel + buffer
         half = buffer // 2
@@ -112,6 +112,16 @@ class TiledInferenceEngine:
         blend = self.blend
         predict_fn = self.predict_fn
         mode = self.index_mode
+
+        if self.preprocess_fn is not None:
+            # preprocess may add derived bands on device (e.g. NDVI): chips
+            # gather from the preprocessed scene, so take its channel count
+            pre = jax.eval_shape(
+                self.preprocess_fn, jax.ShapeDtypeStruct(scene_shape, scene_dtype)
+            )
+            if pre.shape[:2] != (h, w):
+                raise ValueError("preprocess_fn must preserve spatial dims")
+            c_in = pre.shape[-1]
 
         if mode == "grid":
             # central windows at [r*kernel, r*kernel + kernel) cover [0, h);
@@ -253,7 +263,7 @@ class TiledInferenceEngine:
             return self._predict_banded(scene)
         key = (h, w, scene.shape[2], str(scene.dtype))
         if key not in self._compiled:
-            impl = self._build(scene.shape)
+            impl = self._build(scene.shape, jnp.asarray(scene).dtype)
             self._compiled[key] = jax.jit(impl) if impl is not None else None
         run = self._compiled[key]
         if run is None:
@@ -273,7 +283,7 @@ class TiledInferenceEngine:
         s, h, w, c = scenes.shape
         key = (s, h, w, c, str(scenes.dtype))
         if key not in self._compiled_batch:
-            impl = self._build((h, w, c))
+            impl = self._build((h, w, c), scenes.dtype)
             self._compiled_batch[key] = (
                 jax.jit(jax.vmap(impl)) if impl is not None else None
             )

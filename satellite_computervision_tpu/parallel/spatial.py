@@ -35,6 +35,7 @@ def make_spatial_inference(
     kernel: int = 256,
     buffer: int = 128,
     out_channels: int = 1,
+    batch_size: int = 16,
 ):
     """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
 
@@ -52,18 +53,28 @@ def make_spatial_inference(
         """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
         hl = band.shape[0] - buffer
         rows = hl // kernel
+        n = rows * cols
         corners = np.asarray(
             [(r * kernel, c * kernel) for r in range(rows) for c in range(cols)],
             np.int32,
         )
+        n_pad = (-n) % batch_size
+        if n_pad:
+            corners = np.concatenate([corners, np.repeat(corners[-1:], n_pad, 0)])
 
         def one(yx):
             return jax.lax.dynamic_slice(
                 band, (yx[0], yx[1], 0), (side, side, band.shape[2])
             )
 
-        chips = jax.vmap(one)(jnp.asarray(corners))
-        preds = predict_fn(chips).astype(jnp.float32)
+        # unrolled batched forwards bound per-device activation memory,
+        # same as the single-device engine
+        preds = jnp.concatenate(
+            [
+                predict_fn(jax.vmap(one)(jnp.asarray(g))).astype(jnp.float32)
+                for g in corners.reshape(-1, batch_size, 2)
+            ]
+        )[:n]
         crops = preds[:, half : half + kernel, half : half + kernel, :]
         return (
             crops.reshape(rows, cols, kernel, kernel, c_out)

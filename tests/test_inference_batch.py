@@ -33,6 +33,30 @@ def test_output_transform_uint8(rng):
     )
 
 
+def test_preprocess_can_add_derived_bands(rng):
+    """preprocess_fn may append on-device derived bands (e.g. NDVI): the
+    engine gathers from the widened scene."""
+    import jax.numpy as jnp
+
+    scene = rng.uniform(0.1, 0.9, (96, 96, 2)).astype(np.float32)
+
+    def with_ndvi(s):
+        ndvi = (s[..., 1:2] - s[..., 0:1]) / (s[..., 1:2] + s[..., 0:1] + 1e-8)
+        return jnp.concatenate([s, ndvi], axis=-1)
+
+    eng = TiledInferenceEngine(
+        lambda c: c[..., 2:3],  # returns the derived band
+        kernel=32, buffer=16, batch_size=4, out_channels=1,
+        preprocess_fn=with_ndvi,
+    )
+    out = np.asarray(eng.predict_scene(scene))
+    want = np.asarray(with_ndvi(scene))[..., 2:3]
+    half = 8
+    np.testing.assert_allclose(
+        out[half:-half, half:-half], want[half:-half, half:-half], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_predict_scenes_stream_order(rng):
     scenes = [rng.normal(size=(96, 96, 2)).astype(np.float32) for _ in range(4)]
     # tag each scene so order is observable
