@@ -28,6 +28,7 @@ class ConvBNAct(nn.Module):
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -42,7 +43,7 @@ class ConvBNAct(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             dtype=self.dtype,
             axis_name=self.bn_axis_name if train else None,
@@ -56,6 +57,7 @@ class ConvBlock(nn.Module):
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -64,6 +66,7 @@ class ConvBlock(nn.Module):
         cba = dict(
             kernel_size=self.kernel_size,
             dilation=self.dilation,
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )
@@ -80,6 +83,7 @@ class EncoderBlock(nn.Module):
     pool: Tuple[int, int] = (2, 2)
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -89,6 +93,7 @@ class EncoderBlock(nn.Module):
             self.features,
             kernel_size=self.kernel_size,
             dilation=self.dilation,
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )(x, train)
@@ -103,12 +108,13 @@ class DecoderBlock(nn.Module):
     features: int
     up: Tuple[int, int] = (2, 2)
     dropout: Optional[float] = None
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        bn = dict(momentum=0.99, epsilon=1e-3, dtype=self.dtype)
+        bn = dict(momentum=self.bn_momentum, epsilon=1e-3, dtype=self.dtype)
         x = nn.ConvTranspose(
             self.features, self.up, strides=self.up, padding="SAME", dtype=self.dtype
         )(x)

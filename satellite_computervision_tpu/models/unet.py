@@ -33,6 +33,10 @@ class UNet(nn.Module):
     dropout: Optional[float] = None
     output_bias: Optional[float] = None
     remat: bool = False
+    # BatchNorm running-stat momentum. The Keras default 0.99 needs many
+    # steps before eval-mode stats are usable; lower (e.g. 0.9) stabilizes
+    # short runs.
+    bn_momentum: float = 0.99
     # Space-to-depth stem: fold 2x2 pixel blocks into channels before the
     # first conv (H, W, C) -> (H/2, W/2, 4C) and restore resolution with a
     # learned 2x upsample before the head. The first conv level then runs
@@ -48,7 +52,7 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if len(self.filters) != len(self.factors):
             raise ValueError("filters and factors must be the same length")
-        common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        common = dict(bn_momentum=self.bn_momentum, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = jnp.asarray(x, self.dtype)
 
         if self.space_to_depth:
@@ -99,7 +103,7 @@ class UNet(nn.Module):
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.99,
+                momentum=self.bn_momentum,
                 epsilon=1e-3,
                 dtype=self.dtype,
                 axis_name=self.bn_axis_name if train else None,

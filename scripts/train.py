@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--bn-momentum", type=float, default=0.9,
+                    help="BatchNorm running-stat momentum; the Keras-parity "
+                    "0.99 needs thousands of steps before eval stabilizes")
     ap.add_argument("--resume", action="store_true", help="restore best ckpt + seed best metric")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -76,7 +79,7 @@ def main(argv=None):
     else:
         model = UNet(
             n_classes=cfg.num_classes, head=head, threshold=cfg.threshold,
-            remat=args.remat, dtype=dtype,
+            remat=args.remat, bn_momentum=args.bn_momentum, dtype=dtype,
         )
     state = create_train_state(
         model, jax.random.key(args.seed),
