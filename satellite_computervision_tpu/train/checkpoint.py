@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import urllib.request
 from typing import Any, Dict, Optional
 

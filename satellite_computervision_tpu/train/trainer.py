@@ -14,7 +14,6 @@ an explicit functional train step:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import flax
