@@ -24,16 +24,32 @@ from satellite_computervision_tpu.ops.bands import calc_ndvi  # processing.py:11
 from satellite_computervision_tpu.ops.augment import (  # noqa: F401
     aug_color as aug_tensor_color,   # processing.py:129
     aug_morph as aug_tensor_morph,   # processing.py:169
-    aug_color as aug_array_color,    # array_tools.py:159
     aug_morph as aug_array_morph,    # array_tools.py:186
     aug_color_hsv as augColor,       # processing.py:154
 )
 from satellite_computervision_tpu.ops.normalize import (  # noqa: F401
     normalize_image as normalize_tensor,   # processing.py:225
     rescale_image as rescale_tensor,       # processing.py:281
-    normalize_image as normalize_array,    # array_tools.py:47
-    rescale_image as rescale_array,        # array_tools.py:109
     normalize_timeseries,                  # array_tools.py:215
+)
+
+# The reference's NumPy twins are NaN-aware (np.nanmean/np.nanstd/np.nanmin),
+# normalize divides by std + eps and takes (mean, std) moment tuples, and
+# aug_array_color draws scalar (not per-channel) multipliers
+# (utils/array_tools.py:47-184) — bind those flavors explicitly.
+import functools as _functools
+
+from satellite_computervision_tpu.ops import augment as _augment
+from satellite_computervision_tpu.ops import normalize as _normalize
+
+normalize_array = _functools.partial(          # array_tools.py:47
+    _normalize.normalize_image, nan_aware=True, std_form=True
+)
+rescale_array = _functools.partial(            # array_tools.py:109
+    _normalize.rescale_image, nan_aware=True
+)
+aug_array_color = _functools.partial(          # array_tools.py:159
+    _augment.aug_color, per_channel=False, nan_aware=True
 )
 from satellite_computervision_tpu.data.pipeline import (  # noqa: F401
     make_preprocess_fn as to_tuple,        # processing.py:335 (jitted batch form)

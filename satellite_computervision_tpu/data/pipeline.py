@@ -154,7 +154,13 @@ def make_preprocess_fn(
     return preprocess
 
 
-def _batched(iterator, batch_size: int, feature_names):
+def _batched(iterator, batch_size: int, feature_names, drop_remainder=False):
+    """Batch a dict-example stream. By default the final partial batch is
+    kept — tf.data ``.batch`` semantics (utils/processing.py:438-454);
+    dropping the tail would silently exclude up to batch_size-1 examples
+    from eval metrics (and from checkpoint-best decisions). Repeating
+    training streams pass ``drop_remainder=True`` so every step keeps one
+    static shape (no per-epoch recompile of the jitted train step)."""
     buf = []
     for ex in iterator:
         buf.append(ex)
@@ -163,6 +169,8 @@ def _batched(iterator, batch_size: int, feature_names):
                 name: np.stack([b[name] for b in buf]) for name in feature_names
             }
             buf = []
+    if buf and not drop_remainder:
+        yield {name: np.stack([b[name] for b in buf]) for name in feature_names}
 
 
 def _shuffled(iterator, buffer_size: int, rng: random.Random):
@@ -215,6 +223,7 @@ class TrainIterator:
         repeat: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        drop_remainder: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -222,6 +231,9 @@ class TrainIterator:
         self.repeat = repeat
         self.seed = seed
         self.prefetch = prefetch
+        # repeating (training) streams default to static shapes; single-pass
+        # (eval) streams keep the tail batch
+        self.drop_remainder = repeat if drop_remainder is None else drop_remainder
 
     def _epochs(self):
         epoch = 0
@@ -230,7 +242,8 @@ class TrainIterator:
             it = iter(self.dataset)
             if self.shuffle_buffer > 1:
                 it = _shuffled(it, self.shuffle_buffer, rng)
-            yield from _batched(it, self.batch_size, self.dataset.feature_names)
+            yield from _batched(it, self.batch_size, self.dataset.feature_names,
+                                self.drop_remainder)
             epoch += 1
             if not self.repeat:
                 return

@@ -48,11 +48,18 @@ def make_pred_batches(
     splits=None,
     compression: Optional[str] = "GZIP",
 ):
-    """Yield (B, side_y, side_x, C) rescaled patch batches from buffered
-    EE prediction exports (make_pred_dataset,
-    utils/prediction_tools.py:159-226)."""
+    """Yield (B, side_y, side_x, C) patch batches from buffered EE
+    prediction exports, rescaled per ``axes``/``moments``/``splits`` — the
+    reference's make_pred_dataset returns normalized batches
+    (utils/prediction_tools.py:159-226), so iterating this directly feeds
+    model-ready values."""
     side_y = kernel_shape[0] + kernel_buffer[1]
     side_x = kernel_shape[1] + kernel_buffer[0]
+    rescale = jax.jit(
+        jax.vmap(
+            lambda img: rescale_image(img, axes=axes, moments=moments, splits=splits)
+        )
+    )
     buf = []
     for path in files:
         for row in read_float_examples(path, features, compression):
@@ -61,10 +68,10 @@ def make_pred_batches(
             )
             buf.append(bands)
             if len(buf) == batch_size:
-                yield np.stack(buf)
+                yield np.asarray(rescale(jnp.stack(buf)))
                 buf = []
     if buf:
-        yield np.stack(buf)
+        yield np.asarray(rescale(jnp.stack(buf)))
 
 
 def run_batch_prediction(
@@ -92,22 +99,17 @@ def run_batch_prediction(
         raise FileNotFoundError(f"no tfrecord files under {pattern_or_dir!r}")
     os.makedirs(out_dir, exist_ok=True)
 
-    rescale = jax.jit(
-        lambda b: jax.vmap(
-            lambda img: rescale_image(img, axes=axes, moments=moments, splits=splits)
-        )(b)
-    )
-
     written = []
     for ci in range(0, len(files), files_per_chunk):
         chunk = files[ci : ci + files_per_chunk]
         preds = []
+        # batches arrive already rescaled (make_pred_batches applies
+        # axes/moments/splits, matching reference make_pred_dataset)
         for batch in make_pred_batches(
             chunk, features, kernel_shape, kernel_buffer, batch_size,
             axes, moments, splits, compression,
         ):
-            scaled = rescale(jnp.asarray(batch))
-            preds.append(np.asarray(predict_fn(scaled)))
+            preds.append(np.asarray(predict_fn(jnp.asarray(batch))))
         predictions = np.concatenate(preds, axis=0)
         out_path = os.path.join(out_dir, f"{out_base}-{ci // files_per_chunk:05d}.tfrecords")
         write_tfrecord_predictions(
@@ -117,12 +119,20 @@ def run_batch_prediction(
     return written
 
 
-def get_img_bounds(image_shape, mixer: MixerInfo):
-    """(south, west), (north, east) geographic bounds of a reassembled
-    prediction (utils/prediction_tools.py:560-600; CRS transforms need
-    pyproj and are gated)."""
+def get_img_bounds(image_shape, mixer: MixerInfo, dst_crs=None):
+    """[[south, west], [north, east]] bounds of a reassembled prediction
+    (utils/prediction_tools.py:560-600). With ``dst_crs`` (e.g.
+    ``"EPSG:4326"`` for folium, the reference's transform branch at
+    :584-597) bounds are reprojected from the mixer CRS via the
+    self-contained geo.crs transforms (UTM/web-mercator/lon-lat)."""
     from satellite_computervision_tpu.geo.transforms import array_bounds
 
     h, w = image_shape[:2]
     left, bottom, right, top = array_bounds(h, w, mixer.affine)
+    if dst_crs is not None:
+        from satellite_computervision_tpu.geo.crs import transform_bounds
+
+        left, bottom, right, top = transform_bounds(
+            left, bottom, right, top, mixer.crs, dst_crs
+        )
     return [[bottom, left], [top, right]]

@@ -102,7 +102,13 @@ class TiledInferenceEngine:
         self._compiled_batch = {}
 
     # ------------------------------------------------------------------
-    def _build(self, scene_shape, scene_dtype=jnp.float32):
+    def _build(self, scene_shape, scene_dtype=jnp.float32, prepadded=False):
+        """Compile the scene program. With ``prepadded=True`` the input is
+        an already-padded band of shape (rows*kernel + buffer,
+        cols*kernel + buffer, C) on the whole-scene chip grid and the full
+        central grid (rows*kernel, cols*kernel, C_out) is returned — the
+        banded-streaming path supplies real scene rows as halo so interior
+        bands see identical conv context to a whole-scene pass."""
         kernel, buffer = self.kernel, self.buffer
         side = kernel + buffer
         half = buffer // 2
@@ -123,7 +129,11 @@ class TiledInferenceEngine:
                 raise ValueError("preprocess_fn must preserve spatial dims")
             c_in = pre.shape[-1]
 
-        if mode == "grid":
+        if prepadded:
+            rows = (h - buffer) // kernel
+            cols = (w - buffer) // kernel
+            pad_bottom = pad_right = 0
+        elif mode == "grid":
             # central windows at [r*kernel, r*kernel + kernel) cover [0, h);
             # chips read [r*kernel - half, ... + side) -> pad half on top/left
             # and (rows*kernel + half - h) on bottom/right.
@@ -170,14 +180,14 @@ class TiledInferenceEngine:
             if preprocess_fn is not None:
                 scene = preprocess_fn(scene)
             scene = scene.astype(jnp.float32)
-            if mode == "grid":
+            if prepadded or mode != "grid":
+                padded = scene
+            else:
                 # edge-replicate so convs near scene borders see plausible
                 # context instead of zeros
                 padded = jnp.pad(
                     scene, ((half, pad_bottom), (half, pad_right), (0, 0)), mode="edge"
                 )
-            else:
-                padded = scene
             # Statically unrolled groups: one big batched forward per group.
             # (A lax.map/scan formulation measured ~3x slower end-to-end on
             # v5e than the unrolled same-shape calls; with batch_size >= n
@@ -193,6 +203,8 @@ class TiledInferenceEngine:
             if blend in ("overwrite", "sum"):
                 crops = preds[:, half : half + kernel, half : half + kernel, :]
                 grid = tile_grid(crops, kernel)
+                if prepadded:
+                    return grid
                 if mode == "grid":
                     return grid[:h, :w]
                 out = jnp.zeros((h, w, c_out), jnp.float32)
@@ -243,6 +255,10 @@ class TiledInferenceEngine:
                     wacc = wacc + lay(wsub, 1)
 
             blended = acc / jnp.maximum(wacc, 1e-8)
+            if prepadded:
+                return jax.lax.dynamic_slice(
+                    blended, (half, half, 0), (rows * kernel, cols * kernel, c_out)
+                )
             if mode == "grid":
                 # canvas origin == padded-scene origin; padded origin is
                 # (half, half) before original pixel (0, 0)
@@ -318,29 +334,83 @@ class TiledInferenceEngine:
                 return
             yield self.predict_scene(staged)
 
-    def _predict_banded(self, scene):
-        """Stream a tall scene in full-width bands with halo overlap,
-        bounding device memory (the Dask-chunking analog,
-        utils/pc_tools.py:707-718, without workers or model re-downloads).
+    def _run_prepadded(self, band_arr):
+        band_arr = jnp.asarray(band_arr)
+        key = ("prepad",) + tuple(band_arr.shape) + (str(band_arr.dtype),)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                self._build(band_arr.shape, band_arr.dtype, prepadded=True)
+            )
+        return self._compiled[key](band_arr)
 
-        With ``blend="hann"`` the rows within buffer/2 of a band splice
-        normalize over that band's chips only, so values there can differ
-        slightly from a whole-scene pass (still correctly weighted);
-        ``overwrite`` is bit-identical to the whole-scene result."""
+    def _predict_banded(self, scene):
+        """Stream a tall scene in full-width bands, bounding device memory
+        (the Dask-chunking analog, utils/pc_tools.py:707-718, without
+        workers or model re-downloads).
+
+        Bands are cut on the whole-scene chip grid and carry real scene
+        rows as halo (edge-padding only at true scene borders), so interior
+        chips see identical conv context to a whole-scene pass:
+        ``overwrite`` is bit-identical. With ``blend="hann"`` each band
+        additionally includes one halo chip-row per interior side so every
+        output pixel sums its full chip set — equal to the whole-scene
+        result up to floating-point summation order."""
         h, w, _ = scene.shape
         kernel, buffer = self.kernel, self.buffer
         half = buffer // 2
-        band = (self.max_rows - buffer) // kernel * kernel
-        if band <= 0:
+        side = kernel + buffer
+        band_rows = (self.max_rows - buffer) // kernel
+        if band_rows <= 0:
             raise ValueError("max_rows too small for kernel+buffer")
+        halo = 1 if self.blend == "hann" else 0
+        step = max(1, band_rows - 2 * halo)
         out = np.zeros((h, w, self.out_channels), np.float32)
-        y = 0
-        while y < h:
-            y0 = max(y - half, 0)
-            y1 = min(y + band + half, h)
-            piece = np.asarray(self.predict_scene(np.asarray(scene[y0:y1])))
-            lo = y
-            hi = min(y + band, h)
-            out[lo:hi] = piece[lo - y0 : hi - y0]
-            y += band
+        scene = np.asarray(scene)
+
+        if self.index_mode == "grid":
+            rows_total = -(-h // kernel)
+            cols = -(-w // kernel)
+            pad_right = cols * kernel + half - w
+            r0 = 0
+            while r0 < rows_total:
+                rb = min(step, rows_total - r0)
+                e_top = min(halo, r0)
+                e_bot = min(halo, rows_total - r0 - rb)
+                ry = (r0 - e_top) * kernel
+                n_rows = rb + e_top + e_bot
+                src_lo = max(0, ry - half)
+                src_hi = min(h, ry + n_rows * kernel + half)
+                top = half - (ry - src_lo)
+                bottom = (ry + n_rows * kernel + half) - src_hi
+                band_arr = np.pad(
+                    scene[src_lo:src_hi],
+                    ((top, bottom), (half, pad_right), (0, 0)),
+                    mode="edge",
+                )
+                piece = np.asarray(self._run_prepadded(band_arr))
+                y = r0 * kernel
+                hi = min(y + rb * kernel, h)
+                out[y:hi] = piece[e_top * kernel : e_top * kernel + hi - y, :w]
+                r0 += rb
+        else:
+            # reference grid: chip (r, c) reads scene[r*k : r*k+side, ...];
+            # outputs land at offset (half, half), margins stay zero.
+            rows_total = len(range(half, h - side, kernel))
+            cols_total = len(range(half, w - side, kernel))
+            if rows_total > 0 and cols_total > 0:
+                w_used = cols_total * kernel + buffer
+                r0 = 0
+                while r0 < rows_total:
+                    rb = min(step, rows_total - r0)
+                    e_top = min(halo, r0)
+                    e_bot = min(halo, rows_total - r0 - rb)
+                    ry = (r0 - e_top) * kernel
+                    n_rows = rb + e_top + e_bot
+                    band_arr = scene[ry : ry + n_rows * kernel + buffer, :w_used]
+                    piece = np.asarray(self._run_prepadded(band_arr))
+                    y = r0 * kernel + half
+                    out[y : y + rb * kernel, half : half + cols_total * kernel] = piece[
+                        e_top * kernel : (e_top + rb) * kernel
+                    ]
+                    r0 += rb
         return jnp.asarray(out)

@@ -187,37 +187,64 @@ class DeepLabV3Plus(nn.Module):
         return {"logits": logits, "probs": probs, "classes": classes}
 
 
-def load_torch_resnet_weights(params, state_dict_path: str):
+def load_torch_resnet_weights(params, state_dict_path: str, batch_stats=None):
     """Copy a torchvision ResNet state_dict (.pth, loaded on CPU) onto the
     ``backbone`` subtree of a DeepLabV3Plus params/batch_stats pair.
 
+    Maps conv kernels (torch OIHW -> flax HWIO) AND the BatchNorm tensors:
+    ``bnX.weight/bias`` -> BN ``scale``/``bias`` in params, and
+    ``bnX.running_mean/running_var`` -> ``mean``/``var`` in batch_stats
+    (including ``downsample.1`` -> ``downsample_bn``). Without the running
+    statistics a "pretrained" backbone would produce numerically wrong
+    inference-mode activations.
+
     Only usable when a weights file is already present locally; returns
-    updated (params, batch_stats). Torch OIHW conv kernels are transposed
-    to flax HWIO.
+    updated ``(params, batch_stats)``. If ``batch_stats`` is None, only
+    params are updated and ``(params, None)`` is returned.
     """
     import numpy as np
     import torch  # CPU-only in this image
 
     sd = torch.load(state_dict_path, map_location="cpu")
-    params = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy
+    params = jax.tree_util.tree_map(lambda a: a, params)  # structural copy
+    if batch_stats is not None:
+        batch_stats = jax.tree_util.tree_map(lambda a: a, batch_stats)
 
     def t_kernel(w):
         return np.transpose(w.numpy(), (2, 3, 1, 0))
 
+    def copy_bn(param_tgt, stats_tgt, flax_name, torch_prefix):
+        if f"{torch_prefix}.weight" in sd:
+            param_tgt[flax_name]["scale"] = jnp.asarray(sd[f"{torch_prefix}.weight"].numpy())
+            param_tgt[flax_name]["bias"] = jnp.asarray(sd[f"{torch_prefix}.bias"].numpy())
+        if stats_tgt is not None and f"{torch_prefix}.running_mean" in sd:
+            stats_tgt[flax_name]["mean"] = jnp.asarray(
+                sd[f"{torch_prefix}.running_mean"].numpy()
+            )
+            stats_tgt[flax_name]["var"] = jnp.asarray(
+                sd[f"{torch_prefix}.running_var"].numpy()
+            )
+
     stage_names = ["layer1", "layer2", "layer3", "layer4"]
     backbone = params["backbone"]
+    bb_stats = batch_stats["backbone"] if batch_stats is not None else None
     backbone["stem_conv"]["kernel"] = jnp.asarray(t_kernel(sd["conv1.weight"]))
+    copy_bn(backbone, bb_stats, "stem_bn", "bn1")
     for si, layer in enumerate(stage_names):
         block = 0
         while f"{layer}.{block}.conv1.weight" in sd:
-            tgt = backbone[f"stage{si + 1}_block{block}"]
+            name = f"stage{si + 1}_block{block}"
+            tgt = backbone[name]
+            stats = bb_stats[name] if bb_stats is not None else None
             for ci in (1, 2, 3):
                 tgt[f"conv{ci}"]["kernel"] = jnp.asarray(
                     t_kernel(sd[f"{layer}.{block}.conv{ci}.weight"])
                 )
+                copy_bn(tgt, stats, f"bn{ci}", f"{layer}.{block}.bn{ci}")
             if f"{layer}.{block}.downsample.0.weight" in sd:
                 tgt["downsample_conv"]["kernel"] = jnp.asarray(
                     t_kernel(sd[f"{layer}.{block}.downsample.0.weight"])
                 )
+                copy_bn(tgt, stats, "downsample_bn", f"{layer}.{block}.downsample.1")
             block += 1
-    return params
+    return params, batch_stats

@@ -9,9 +9,11 @@ Contract:
 - ``axes``: axes over which moments are computed (keepdims). For an (H, W, C)
   image: ``(2,)`` standardizes each pixel across channels, ``(0, 1)`` each
   channel, ``(0, 1, 2)`` globally.
-- ``moments``: explicit list of per-channel ``(mean, variance)`` (or
-  ``(min, max)`` for rescale) tuples overriding computed moments; each
-  broadcast along the channel (last) axis.
+- ``moments``: explicit list of per-channel tuples overriding computed
+  moments, broadcast along the channel (last) axis. Convention follows the
+  flavor: ``(mean, variance)`` in the TF form (``std_form=False``),
+  ``(mean, std)`` in the NumPy-twin form (``std_form=True``,
+  utils/array_tools.py:75-95); ``(min, max)`` for rescale.
 - ``splits``: sizes of contiguous channel groups normalized independently.
   For :func:`normalize_image` the channels beyond ``sum(splits)`` pass
   through untouched (reference utils/processing.py:268-277). For
@@ -54,8 +56,15 @@ def _split_moments(moments, splits):
 
 def _normalize_one(x, axes, epsilon, moments, nan_aware, std_form):
     if moments is not None:
-        mean, var = _moments_arrays(moments, x.dtype)
-    elif nan_aware:
+        # Explicit moments follow the flavor's own convention: the TF form
+        # takes (mean, variance) (utils/processing.py:246-254) while the
+        # NumPy twin takes (mean, std) and divides by std + eps
+        # (utils/array_tools.py:75-95).
+        mean, second = _moments_arrays(moments, x.dtype)
+        if std_form:
+            return (x - mean) / (second + epsilon)
+        return (x - mean) / jnp.sqrt(second + epsilon)
+    if nan_aware:
         mean = jnp.nanmean(x, axis=axes, keepdims=True)
         var = jnp.nanvar(x, axis=axes, keepdims=True)
     else:

@@ -84,3 +84,43 @@ def test_compat_predict_chips(rng):
     )
     assert out.shape == (320, 320, 1)
     assert np.any(out != 0)
+
+
+def test_compat_numpy_twins_are_nan_aware(rng):
+    """normalize_array/rescale_array/aug_array_color must bind the NumPy
+    reference flavor: NaN-ignoring moments, std+eps denominator, (mean, std)
+    moment tuples, scalar color multipliers (utils/array_tools.py:47-184)."""
+    from satellite_computervision_tpu import compat
+
+    x = rng.normal(size=(8, 8, 3)).astype(np.float32) * 5 + 2
+    x[0, 0, 0] = np.nan
+
+    got = np.asarray(compat.normalize_array(x, axes=(0, 1)))
+    mean = np.nanmean(x, axis=(0, 1), keepdims=True)
+    std = np.nanstd(x, axis=(0, 1), keepdims=True)
+    want = (x - mean) / (std + 1e-8)
+    np.testing.assert_allclose(got[~np.isnan(want)], want[~np.isnan(want)], rtol=1e-4, atol=1e-5)
+
+    # explicit moments are (mean, std), not (mean, variance)
+    got_m = np.asarray(
+        compat.normalize_array(x, axes=(0, 1), moments=[(2.0, 4.0)] * 3)
+    )
+    want_m = (x - 2.0) / (4.0 + 1e-8)
+    np.testing.assert_allclose(
+        got_m[~np.isnan(want_m)], want_m[~np.isnan(want_m)], rtol=1e-4, atol=1e-5
+    )
+
+    got_r = np.asarray(compat.rescale_array(x, axes=(0, 1)))
+    lo = np.nanmin(x, axis=(0, 1), keepdims=True)
+    hi = np.nanmax(x, axis=(0, 1), keepdims=True)
+    want_r = (x - lo) / ((hi - lo) + 1e-8)
+    np.testing.assert_allclose(
+        got_r[~np.isnan(want_r)], want_r[~np.isnan(want_r)], rtol=1e-4, atol=1e-5
+    )
+
+    # scalar multipliers: all channels share the same recolor transform, and
+    # NaN pixels do not poison the channel means
+    import jax
+
+    out = np.asarray(compat.aug_array_color(jax.random.key(3), x))
+    assert np.isfinite(out[1:]).all()

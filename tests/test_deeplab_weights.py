@@ -13,20 +13,32 @@ from satellite_computervision_tpu.models.deeplab import load_torch_resnet_weight
 
 
 def _synthetic_resnet_state_dict(stage_sizes=(1, 1, 1, 1)):
-    """Minimal torchvision-shaped ResNet state_dict (conv weights only)."""
+    """Minimal torchvision-shaped ResNet state_dict (convs + BN tensors)."""
     g = torch.Generator().manual_seed(0)
+
+    def add_bn(sd, prefix, ch):
+        sd[f"{prefix}.weight"] = torch.randn(ch, generator=g)
+        sd[f"{prefix}.bias"] = torch.randn(ch, generator=g)
+        sd[f"{prefix}.running_mean"] = torch.randn(ch, generator=g)
+        sd[f"{prefix}.running_var"] = torch.rand(ch, generator=g) + 0.5
+
     sd = {"conv1.weight": torch.randn(64, 3, 7, 7, generator=g)}
+    add_bn(sd, "bn1", 64)
     in_ch = 64
     for si, (layer, blocks) in enumerate(zip(["layer1", "layer2", "layer3", "layer4"], stage_sizes)):
         feat = 64 * (2**si)
         for b in range(blocks):
             sd[f"{layer}.{b}.conv1.weight"] = torch.randn(feat, in_ch, 1, 1, generator=g)
+            add_bn(sd, f"{layer}.{b}.bn1", feat)
             sd[f"{layer}.{b}.conv2.weight"] = torch.randn(feat, feat, 3, 3, generator=g)
+            add_bn(sd, f"{layer}.{b}.bn2", feat)
             sd[f"{layer}.{b}.conv3.weight"] = torch.randn(feat * 4, feat, 1, 1, generator=g)
+            add_bn(sd, f"{layer}.{b}.bn3", feat * 4)
             if b == 0:
                 sd[f"{layer}.{b}.downsample.0.weight"] = torch.randn(
                     feat * 4, in_ch, 1, 1, generator=g
                 )
+                add_bn(sd, f"{layer}.{b}.downsample.1", feat * 4)
             in_ch = feat * 4
     return sd
 
@@ -36,12 +48,13 @@ def test_torch_resnet_weight_mapping(tmp_path):
     x = jnp.zeros((1, 64, 64, 3))
     variables = model.init(jax.random.key(0), x)
     params = jax.device_get(variables["params"])
+    batch_stats = jax.device_get(variables["batch_stats"])
 
     sd = _synthetic_resnet_state_dict()
     path = str(tmp_path / "resnet.pth")
     torch.save(sd, path)
 
-    loaded = load_torch_resnet_weights(params, path)
+    loaded, loaded_stats = load_torch_resnet_weights(params, path, batch_stats)
 
     # stem kernel transposed OIHW -> HWIO
     want_stem = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
@@ -59,6 +72,38 @@ def test_torch_resnet_weight_mapping(tmp_path):
         want_ds, rtol=1e-6,
     )
 
-    # the model still applies with loaded weights
-    out = model.apply({"params": loaded, "batch_stats": variables["batch_stats"]}, x)
+    # BatchNorm gamma/beta -> scale/bias in params
+    np.testing.assert_allclose(
+        np.asarray(loaded["backbone"]["stem_bn"]["scale"]), sd["bn1.weight"].numpy(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["backbone"]["stage2_block0"]["bn2"]["bias"]),
+        sd["layer2.0.bn2.bias"].numpy(), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["backbone"]["stage4_block0"]["downsample_bn"]["scale"]),
+        sd["layer4.0.downsample.1.weight"].numpy(), rtol=1e-6,
+    )
+    # running mean/var -> batch_stats
+    np.testing.assert_allclose(
+        np.asarray(loaded_stats["backbone"]["stem_bn"]["mean"]),
+        sd["bn1.running_mean"].numpy(), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded_stats["backbone"]["stage3_block0"]["bn3"]["var"]),
+        sd["layer3.0.bn3.running_var"].numpy(), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded_stats["backbone"]["stage4_block0"]["downsample_bn"]["mean"]),
+        sd["layer4.0.downsample.1.running_mean"].numpy(), rtol=1e-6,
+    )
+    # untouched (non-backbone) stats survive the structural copy
+    np.testing.assert_allclose(
+        np.asarray(loaded_stats["low_bn"]["mean"]),
+        np.asarray(batch_stats["low_bn"]["mean"]),
+    )
+
+    # the model still applies with loaded weights + stats
+    out = model.apply({"params": loaded, "batch_stats": loaded_stats}, x)
     assert out["probs"].shape == (1, 64, 64, 1)
+    assert np.all(np.isfinite(np.asarray(out["probs"])))

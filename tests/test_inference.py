@@ -81,6 +81,43 @@ def test_engine_banded_streaming(rng):
     )
 
 
+def _context_model(chips):
+    """Toy model with a real receptive field: 9x9 box filter via cumulative
+    pooling — any chip-grid misalignment between banded and whole-scene
+    passes changes its output, unlike a per-pixel model."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = chips.mean(axis=-1, keepdims=True)
+    w = jnp.ones((9, 9, 1, 1), x.dtype) / 81.0
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.mark.parametrize("blend,mode", [
+    ("overwrite", "grid"),
+    ("overwrite", "reference"),
+    ("hann", "grid"),
+])
+def test_engine_banded_matches_whole_with_receptive_field(rng, blend, mode):
+    """Interior bands must keep the whole-scene chip grid: with a model
+    whose receptive field exceeds buffer/2, a shifted grid (the round-1
+    defect) produces different values across entire bands."""
+    scene = rng.normal(size=(448, 192, 2)).astype(np.float32)
+    k, b = 64, 32
+    kwargs = dict(
+        kernel=k, buffer=b, batch_size=4, out_channels=1, blend=blend, index_mode=mode
+    )
+    whole = np.asarray(
+        TiledInferenceEngine(_context_model, **kwargs).predict_scene(scene)
+    )
+    banded = np.asarray(
+        TiledInferenceEngine(_context_model, max_rows=300, **kwargs).predict_scene(scene)
+    )
+    np.testing.assert_allclose(banded, whole, rtol=1e-5, atol=1e-6)
+
+
 def test_mixer_roundtrip(tmp_path):
     mixer = MixerInfo(
         total_patches=6,
