@@ -76,18 +76,19 @@ def make_engine(model, variables):
     )
 
 
-def bench_ours(model, variables, scenes, repeats=3):
-    engine = make_engine(model, variables)
-    stack = np.stack(scenes)  # (S, H, W, BANDS) uint16
+def bench_ours(engine, scenes, repeats=3):
     # compile + warm (np.asarray: this backend's block_until_ready does not
     # reliably wait; a D2H read does)
-    np.asarray(engine.predict_scene_batch(stack))
+    np.asarray(engine.predict_scene(jnp.asarray(scenes[0])))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        # one H2D of the uint16 stack, one program, one uint8 D2H — the
-        # multi-scene sweep shape; every prediction read back for export
-        np.asarray(engine.predict_scene_batch(stack))
+        # three-stage pipeline: thread-staged uint16 H2D / async program
+        # dispatch / uint8 D2H readback — steady state approaches the
+        # relay-link ceiling (see README perf notes); every prediction is
+        # materialized to host NumPy, as an export path would need
+        for _out in engine.predict_scenes(scenes, readback=True):
+            pass
         times.append((time.perf_counter() - t0) / len(scenes))
     return min(times)  # seconds per scene, steady state
 
@@ -125,21 +126,30 @@ def main():
     ]
     model, variables = build_model()
 
-    ours_s = bench_ours(model, variables, scenes)
-    ref_s = bench_reference_pattern(model, variables, scenes[0])
+    # The relay link's bandwidth drifts minute-to-minute (identical sweeps
+    # have measured 2-3x apart; DEVNOTES.md) and both sides are
+    # transfer-bound on it, so ours/ref are measured INTERLEAVED in pairs —
+    # each pair sees the same link regime — and the headline ratio is the
+    # median of paired ratios.
+    engine = make_engine(model, variables)
+    pairs = []
+    for _ in range(3):
+        ours_s = bench_ours(engine, scenes, repeats=2)
+        ref_s = bench_reference_pattern(model, variables, scenes[0])
+        pairs.append((ours_s, ref_s))
 
     mpix = SCENE * SCENE / 1e6
-    ours = mpix / ours_s
-    ref = mpix / ref_s
+    ratios = sorted(r / o for o, r in pairs)
+    ours_best = mpix / min(o for o, _ in pairs)
     print(
         json.dumps(
             {
                 "metric": "tiled-inference scene throughput, solar U-Net 256+128 "
                 "4-band, pipelined uint16 scenes (vs reference batch-1 per-chip "
-                "predict loop)",
-                "value": round(ours, 3),
+                "predict loop, interleaved pairs)",
+                "value": round(ours_best, 3),
                 "unit": "MPix/s",
-                "vs_baseline": round(ours / ref, 2),
+                "vs_baseline": round(ratios[len(ratios) // 2], 2),
             }
         )
     )
@@ -179,8 +189,67 @@ def overlap_experiment():
           f"({serial / piped:.2f}x)")
 
 
+def profile_components():
+    """--profile: per-leg timing of the scene pipeline on this backend —
+    H2D (uint16 scene), device compute, D2H (uint8 preds), and the
+    pipelined predict_scenes sweep vs the one-shot stacked program."""
+    rng = np.random.default_rng(0)
+    scenes = [
+        rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
+        for _ in range(N_SCENES)
+    ]
+    model, variables = build_model()
+    engine = make_engine(model, variables)
+    mpix = SCENE * SCENE / 1e6
+
+    # warm the per-scene program
+    staged = jax.device_put(scenes[0])
+    np.asarray(engine.predict_scene(staged))
+
+    def t(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    h2d = t(lambda: np.asarray(jax.device_put(scenes[1])[0, 0, 0]))
+    pred = engine.predict_scene(staged)
+    d2h = t(lambda: np.asarray(pred))
+    # compute incl. minimal sync (1-element readback)
+    comp = t(lambda: np.asarray(engine.predict_scene(staged)[0, 0, 0]))
+    print(f"scene {SCENE}x{SCENE}x{BANDS} uint16 = "
+          f"{scenes[0].nbytes / 1e6:.1f} MB in, {pred.nbytes / 1e6:.1f} MB out")
+    print(f"H2D:     {h2d:.3f}s ({scenes[0].nbytes / 1e6 / h2d:.0f} MB/s)")
+    print(f"compute: {comp:.3f}s ({mpix / comp:.1f} MPix/s device-resident)")
+    print(f"D2H:     {d2h:.3f}s ({pred.nbytes / 1e6 / d2h:.0f} MB/s)")
+
+    t0 = time.perf_counter()
+    for out in engine.predict_scenes(scenes):
+        np.asarray(out)
+    piped = (time.perf_counter() - t0) / len(scenes)
+    print(f"2-stage predict_scenes: {piped:.3f}s/scene ({mpix / piped:.2f} MPix/s)")
+
+    t0 = time.perf_counter()
+    for out in engine.predict_scenes(scenes, readback=True):
+        pass
+    piped3 = (time.perf_counter() - t0) / len(scenes)
+    print(f"3-stage predict_scenes: {piped3:.3f}s/scene ({mpix / piped3:.2f} MPix/s)")
+
+    stack = np.stack(scenes)
+    np.asarray(engine.predict_scene_batch(stack))  # warm
+    t0 = time.perf_counter()
+    np.asarray(engine.predict_scene_batch(stack))
+    stacked = (time.perf_counter() - t0) / len(scenes)
+    print(f"stacked predict_scene_batch: {stacked:.3f}s/scene ({mpix / stacked:.2f} MPix/s)")
+
+
 if __name__ == "__main__":
     if "--overlap" in sys.argv:
         overlap_experiment()
+        sys.exit(0)
+    if "--profile" in sys.argv:
+        profile_components()
         sys.exit(0)
     sys.exit(main())

@@ -308,12 +308,17 @@ class TiledInferenceEngine:
             return jnp.zeros((s, h, w, self.out_channels), jnp.float32)
         return run(scenes)
 
-    def predict_scenes(self, scenes, prefetch: int = 2):
-        """Pipelined multi-scene inference: a background thread stages the
-        next scenes onto the device (``jax.device_put``) while the current
-        one computes, so steady-state throughput is max(compute, transfer)
-        rather than their sum — the multi-state sweep workload
-        (BASELINE.json config #5). Yields predictions in order."""
+    def predict_scenes(self, scenes, prefetch: int = 2, readback: bool = False):
+        """Pipelined multi-scene inference (the multi-state sweep workload,
+        BASELINE.json config #5): a staging thread ships scene N+1 to the
+        device (``jax.device_put``) while scene N computes, so steady-state
+        throughput is max(transfer, compute) rather than their sum.
+
+        With ``readback=True`` a third stage materializes each prediction
+        to host NumPy on another thread, so the main thread dispatches the
+        next scene's program without waiting on the D2H leg — yields
+        ``np.ndarray``; otherwise yields device arrays. Results always come
+        back in order."""
         import queue
         import threading
 
@@ -328,11 +333,38 @@ class TiledInferenceEngine:
                 q.put(_END)
 
         threading.Thread(target=stage, daemon=True).start()
+
+        def compute():
+            while True:
+                staged = q.get()
+                if staged is _END:
+                    return
+                # program dispatch is async: the device result is yielded
+                # immediately and execution queues on-device
+                yield self.predict_scene(staged)
+
+        if not readback:
+            yield from compute()
+            return
+
+        # three stages: staging H2D / async program dispatch / D2H
+        # materialization — the dispatch thread runs ahead (bounded by the
+        # queue), so scene N+1 computes while scene N reads back.
+        dq: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+        def dispatch():
+            try:
+                for pred in compute():
+                    dq.put(pred)
+            finally:
+                dq.put(_END)
+
+        threading.Thread(target=dispatch, daemon=True).start()
         while True:
-            staged = q.get()
-            if staged is _END:
+            pred = dq.get()
+            if pred is _END:
                 return
-            yield self.predict_scene(staged)
+            yield np.asarray(pred)
 
     def _run_prepadded(self, band_arr):
         band_arr = jnp.asarray(band_arr)

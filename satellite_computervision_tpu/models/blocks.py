@@ -52,11 +52,19 @@ class ConvBNAct(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """2x (conv -> BN -> relu) (utils/model_tools.py:211-240, bug fixed)."""
+    """n x (conv -> BN -> relu) (utils/model_tools.py:211-240).
+
+    The reference's ``conv_block.call`` invokes its first conv_batch_act
+    twice and never the second (utils/model_tools.py:238-239), so its
+    *effective* (and saved-to-.h5) architecture has ONE conv per block.
+    ``n_convs=2`` (default) implements the documented intent; ``n_convs=1``
+    reproduces the shipped architecture — required when importing the
+    reference's published Keras weights (train.keras_import)."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
+    n_convs: int = 2
     bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
@@ -70,8 +78,8 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )
-        x = ConvBNAct(self.features, **cba)(x, train)
-        x = ConvBNAct(self.features, **cba)(x, train)
+        for _ in range(self.n_convs):
+            x = ConvBNAct(self.features, **cba)(x, train)
         return x
 
 
@@ -83,6 +91,7 @@ class EncoderBlock(nn.Module):
     pool: Tuple[int, int] = (2, 2)
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
+    n_convs: int = 2
     bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
@@ -93,6 +102,7 @@ class EncoderBlock(nn.Module):
             self.features,
             kernel_size=self.kernel_size,
             dilation=self.dilation,
+            n_convs=self.n_convs,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,

@@ -33,6 +33,11 @@ class UNet(nn.Module):
     dropout: Optional[float] = None
     output_bias: Optional[float] = None
     remat: bool = False
+    # convs per encoder/center block: 2 = the documented reference intent;
+    # 1 = the reference's *shipped* architecture (conv_block double-call
+    # bug, utils/model_tools.py:238-239) — use 1 when importing published
+    # Keras .h5 weights (train.keras_import).
+    convs_per_block: int = 2
     # BatchNorm running-stat momentum. The Keras default 0.99 needs many
     # steps before eval-mode stats are usable; lower (e.g. 0.9) stabilizes
     # short runs.
@@ -82,11 +87,15 @@ class UNet(nn.Module):
         skips = []
         for i, (feat, factor) in enumerate(zip(self.filters, self.factors)):
             x, skip = encoder_cls(
-                feat, pool=(factor, factor), name=f"EncoderBlock_{i}", **common
+                feat, pool=(factor, factor), n_convs=self.convs_per_block,
+                name=f"EncoderBlock_{i}", **common,
             )(x, train)
             skips.append(skip)
 
-        x = conv_cls(self.filters[-1] * 2, name="ConvBlock_0", **common)(x, train)
+        x = conv_cls(
+            self.filters[-1] * 2, n_convs=self.convs_per_block,
+            name="ConvBlock_0", **common,
+        )(x, train)
 
         for i, (feat, factor, skip) in enumerate(
             zip(reversed(self.filters), reversed(self.factors), reversed(skips))
