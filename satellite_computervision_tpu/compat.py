@@ -300,6 +300,13 @@ from satellite_computervision_tpu.cloud.pc import (  # noqa: F401
     predict_scene as run_dask,    # pc_tools.py:670 (mesh replaces Dask)
 )
 from satellite_computervision_tpu.cloud.blob import save_numpy as export_blob  # pc_tools.py:83
+from satellite_computervision_tpu.cloud.compositing import (  # noqa: F401
+    mosaic_tiles as naip_mosaic,          # pc_tools.py:264 (array-level)
+    composite_items as get_pc_imagery,    # pc_tools.py:564 (median composite core)
+    stack_items,
+    median_composite,
+    change_pair_composite,
+)
 
 # --- utils/stats.py --------------------------------------------------------
 from satellite_computervision_tpu.ops.stats import (  # noqa: F401
