@@ -144,3 +144,50 @@ def make_npy_chip_tree(
         labels.append(p)
     out["label"] = labels
     return out
+
+
+def make_siamese_chip_tree(
+    root: str, n_chips: int = 6, dim: int = 32, channels: int = 4, seed: int = 0
+) -> Dict[str, List[str]]:
+    """Before/after/label npy chips for the change-detection family
+    (SiameseDataGenerator inputs, utils/processing.py:757-892)."""
+    rng = np.random.default_rng(seed)
+    out: Dict[str, List[str]] = {}
+    for name in ("before", "after"):
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        files = []
+        for i in range(n_chips):
+            arr = (rng.uniform(0, 1, (channels, dim, dim)) * 10000).astype(np.float32)
+            p = os.path.join(d, f"{name}_site_2021_{i:03d}_x.npy")
+            np.save(p, arr)
+            files.append(p)
+        out[name] = files
+    d = os.path.join(root, "label")
+    os.makedirs(d, exist_ok=True)
+    labels = []
+    for i in range(n_chips):
+        arr = rng.integers(0, 3, (1, dim, dim)).astype(np.uint8)
+        p = os.path.join(d, f"label_site_2021_{i:03d}_x.npy")
+        np.save(p, arr)
+        labels.append(p)
+    out["label"] = labels
+    return out
+
+
+def make_series_chips(
+    root: str, n_chips: int = 6, n_time: int = 7, channels: int = 4,
+    dim: int = 32, seed: int = 0, start_month: int = 3,
+) -> List[str]:
+    """(T, C, H, W) npy timeseries chips for the ConvLSTM families
+    (LSTMDataGenerator inputs, utils/processing.py:895-972). The filename's
+    third '_'-part carries the start month the LSTM-AE harmonics parse."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    files = []
+    for i in range(n_chips):
+        arr = (rng.uniform(0, 1, (n_time, channels, dim, dim)) * 10000).astype(np.float32)
+        p = os.path.join(root, f"series_site_{start_month}_{i:03d}.npy")
+        np.save(p, arr)
+        files.append(p)
+    return files

@@ -115,26 +115,45 @@ def load_checkpoint_orbax(path: str, target):
 
 
 class CheckpointManager:
-    """Keeps ``best`` and ``latest`` checkpoints under a root directory."""
+    """Keeps ``best`` and ``latest`` checkpoints under a root directory.
 
-    def __init__(self, root: str, keep_latest: bool = True):
+    ``backend="msgpack"`` (default) is the single-host flax format;
+    ``backend="orbax"`` writes sharded-aware orbax checkpoints so
+    mesh-sharded / multi-host states restore with their shardings intact
+    (SURVEY §5 checkpoint/resume; the Trainer uses whichever the manager
+    was built with)."""
+
+    def __init__(self, root: str, keep_latest: bool = True, backend: str = "msgpack"):
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
         self.root = root
         self.keep_latest = keep_latest
+        self.backend = backend
         os.makedirs(root, exist_ok=True)
 
+    def _save(self, path, state, metrics, step):
+        if self.backend == "orbax":
+            save_checkpoint_orbax(path, state, metrics, step)
+        else:
+            save_checkpoint(path, state, metrics, step)
+
     def save(self, state, step: int, metrics: Optional[Dict[str, float]] = None):
-        save_checkpoint(os.path.join(self.root, "best"), state, metrics, step)
+        self._save(os.path.join(self.root, "best"), state, metrics, step)
         if self.keep_latest:
-            save_checkpoint(os.path.join(self.root, "latest"), state, metrics, step)
+            self._save(os.path.join(self.root, "latest"), state, metrics, step)
 
     def save_latest(self, state, step: int, metrics=None):
-        save_checkpoint(os.path.join(self.root, "latest"), state, metrics, step)
+        self._save(os.path.join(self.root, "latest"), state, metrics, step)
 
     def restore(self, target, which: str = "best"):
-        return load_checkpoint(os.path.join(self.root, which), target)
+        path = os.path.join(self.root, which)
+        if self.backend == "orbax":
+            return load_checkpoint_orbax(path, target)
+        return load_checkpoint(path, target)
 
     def best_metrics(self) -> Dict[str, float]:
-        meta_path = os.path.join(self.root, "best", "meta.json")
+        meta_name = "scv_meta.json" if self.backend == "orbax" else "meta.json"
+        meta_path = os.path.join(self.root, "best", meta_name)
         if not os.path.exists(meta_path):
             return {}
         with open(meta_path) as f:

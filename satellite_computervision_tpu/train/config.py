@@ -32,6 +32,10 @@ class TrainConfig:
     one_hot: Optional[Dict[str, int]] = None
     axes: Tuple[int, ...] = (2,)
     splits: Optional[Sequence[int]] = None
+    # model family key in train.zoo.FAMILIES
+    family: str = "unet"
+    # timeseries length for the ConvLSTM families (SURVEY §5: T ~= 6)
+    n_time: int = 6
 
     @property
     def steps_per_epoch(self) -> int:
@@ -80,3 +84,80 @@ PARKING_CONFIG = TrainConfig(
     num_classes=1,
     threshold=0.5,
 )
+
+
+# Sentinel-2 before/after change detection with the Siamese U-Net
+# (make_siamese_unet utils/model_tools.py:638-663; chips fed by
+# SiameseDataGenerator utils/processing.py:757-892, /10000 divisor,
+# binary any-class>1 labels; scene assembly = run_local's 4-band pairs,
+# utils/pc_tools.py:620-654).
+CHANGE_CONFIG = TrainConfig(
+    name="change",
+    bands=("B02", "B03", "B04", "B08"),
+    response="change",
+    kernel_size=256,
+    kernel_buffer=128,
+    batch_size=8,
+    epochs=20,
+    learning_rate=9e-4,
+    train_size=4000,
+    eval_size=1000,
+    shuffle_buffer=4000,
+    loss="weighted_bce",
+    loss_kwargs={"pos_weight": 4.0},
+    num_classes=1,
+    threshold=0.5,
+    family="siamese",
+)
+
+# ConvLSTM next-step timeseries regression (get_lstm_model
+# utils/model_tools.py:773-808; LSTMDataGenerator utils/processing.py:
+# 895-972: (T, C, H, W) npy series, /10000, random sequence rotation).
+TIMESERIES_CONFIG = TrainConfig(
+    name="timeseries",
+    bands=("B02", "B03", "B04", "B08"),
+    response="next",
+    kernel_size=64,
+    kernel_buffer=32,
+    batch_size=16,
+    epochs=20,
+    learning_rate=9e-4,
+    train_size=2000,
+    eval_size=500,
+    shuffle_buffer=2000,
+    loss="mse_4d",
+    num_classes=4,
+    monitor="loss",
+    family="convlstm",
+    n_time=6,
+)
+
+# Hierarchical landcover (hybrid / ACNN / hierarchical families; 8 classes
+# = get_hybrid_model's default, utils/model_tools.py:874-920; chips from
+# HybridDataGenerator utils/processing.py:1051-1184).
+LANDCOVER_CONFIG = TrainConfig(
+    name="landcover",
+    bands=("R", "G", "B", "N"),
+    response="lc",
+    kernel_size=256,
+    kernel_buffer=128,
+    batch_size=8,
+    epochs=30,
+    learning_rate=9e-4,
+    train_size=4000,
+    eval_size=1000,
+    shuffle_buffer=4000,
+    loss="weighted_categorical_crossentropy",
+    num_classes=8,
+    monitor="mean_iou",
+    family="hybrid",
+    n_time=6,
+)
+
+CONFIGS = {
+    "solar": SOLAR_CONFIG,
+    "parking": PARKING_CONFIG,
+    "change": CHANGE_CONFIG,
+    "timeseries": TIMESERIES_CONFIG,
+    "landcover": LANDCOVER_CONFIG,
+}

@@ -77,14 +77,19 @@ def make_train_step(
 
     def step(state: TrainState, batch, dropout_key=None):
         x, y = batch
+        # multi-input families (Siamese before/after, hybrid unet+lstm,
+        # LSTM-AE feats+harmonics) pass x as a tuple of positional args
+        inputs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
 
         def compute_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             rngs = {"dropout": dropout_key} if dropout_key is not None else None
             out, mutated = state.apply_fn(
-                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+                variables, *inputs, train=True, mutable=["batch_stats"], rngs=rngs
             )
-            preds = out[pred_key] if isinstance(out, dict) else out
+            # pred_key=None hands the full output dict to loss_fn
+            # (multi-head losses: LSTM-AE temporal+single, hierarchical)
+            preds = out[pred_key] if isinstance(out, dict) and pred_key else out
             loss = loss_fn(y, preds)
             return loss, (out, mutated["batch_stats"])
 
@@ -94,7 +99,7 @@ def make_train_step(
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        if isinstance(out, dict) and class_from in out:
+        if isinstance(out, dict) and class_from in out and not isinstance(y, (tuple, list)):
             y_hat = out[class_from]
             y_int = jnp.argmax(y, -1) if y.shape[-1] > 1 else (y[..., 0] > 0.5)
             cm = metrics_lib.confusion_matrix(y_int, y_hat, num_classes)
@@ -122,13 +127,17 @@ def make_eval_step(
 
     def step(state: TrainState, batch):
         x, y = batch
+        inputs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        out = state.apply_fn(variables, x, train=False)
-        preds = out[pred_key] if isinstance(out, dict) else out
+        out = state.apply_fn(variables, *inputs, train=False)
+        preds = out[pred_key] if isinstance(out, dict) and pred_key else out
         loss = loss_fn(y, preds)
-        y_hat = out[class_from] if isinstance(out, dict) and class_from in out else preds
-        y_int = jnp.argmax(y, -1) if y.shape[-1] > 1 else (y[..., 0] > 0.5)
-        cm = metrics_lib.confusion_matrix(y_int, y_hat, num_classes)
+        if isinstance(y, (tuple, list)):
+            cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+        else:
+            y_hat = out[class_from] if isinstance(out, dict) and class_from in out else preds
+            y_int = jnp.argmax(y, -1) if y.shape[-1] > 1 else (y[..., 0] > 0.5)
+            cm = metrics_lib.confusion_matrix(y_int, y_hat, num_classes)
         return {"loss": loss, "cm": cm}
 
     return jax.jit(step)
@@ -212,15 +221,21 @@ class Trainer:
             train_metrics["loss"] = running_loss / steps_per_epoch
 
             record = {"epoch": epoch, "train": train_metrics}
+            # checkpoint-best on eval metrics when an eval stream exists
+            # (the reference's val_mean_io_u ModelCheckpoint), else on train
+            # metrics so eval-less workloads still keep their best state
             if eval_fn is not None:
                 val = self.evaluate(eval_fn())
                 record["val"] = val
-                value = val[self.monitor]
-                if self._improved(value):
-                    self.best = value
-                    if self.ckpt is not None:
-                        self.ckpt.save(self.state, step=int(self.state.step), metrics=val)
-                    record["checkpointed"] = True
+                monitored = val
+            else:
+                monitored = train_metrics
+            value = monitored.get(self.monitor)
+            if value is not None and self._improved(value):
+                self.best = value
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state, step=int(self.state.step), metrics=monitored)
+                record["checkpointed"] = True
             self.history.append(record)
             log_fn(record)
         return self.history

@@ -1,17 +1,28 @@
 #!/usr/bin/env python
-"""Config-driven training CLI — the reference notebooks' training cells as
-a command (solar notebook cells 17-69 / parking cells 16-52).
+"""Config-driven training CLI covering the reference model zoo.
 
-Examples:
+TFRecord workloads (EE exports; solar notebook cells 17-69, parking 16-52):
   python scripts/train.py --config solar --train 'data/train-*.tfrecord' \
       --eval 'data/eval-*.tfrecord' --ckpt runs/solar
-  python scripts/train.py --config parking --epochs 5 --batch-size 8 \
-      --train 'chips/*.tfrecord' --ckpt runs/parking --resume
+  python scripts/train.py --config parking --model deeplab ...
+
+NPY-chip workloads (PC exports; the reference drove these through Keras
+Sequence generators, utils/processing.py:456-1184):
+  python scripts/train.py --config change --model siamese \
+      --before 'chips/before/*.npy' --after 'chips/after/*.npy' \
+      --labels 'chips/label/*.npy' --ckpt runs/change
+  python scripts/train.py --config timeseries --model convlstm \
+      --series 'chips/s2_series/*.npy' --ckpt runs/lstm
+  python scripts/train.py --config landcover --model hybrid \
+      --unet-source naip='chips/naip/*.npy' --series 'chips/s2_series/*.npy' \
+      --labels 'chips/label/*.npy' --ckpt runs/landcover
 """
 
 import argparse
 import glob
 import sys
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -26,19 +37,90 @@ from satellite_computervision_tpu.train import (
     create_train_state,
     load_checkpoint,
 )
-from satellite_computervision_tpu.train.config import PARKING_CONFIG, SOLAR_CONFIG
+from satellite_computervision_tpu.train.config import CONFIGS
+from satellite_computervision_tpu.train.zoo import get_family
 
-CONFIGS = {"solar": SOLAR_CONFIG, "parking": PARKING_CONFIG}
+TFRECORD_FAMILIES = ("unet", "deeplab", "acnn")
+NPY_FAMILIES = ("siamese", "convlstm", "lstm_autoencoder", "hybrid")
+
+
+def _globs(pattern):
+    files = sorted(glob.glob(pattern))
+    if not files:
+        sys.exit(f"no files match {pattern!r}")
+    return files
+
+
+def _build_npy_dataset(args, cfg, batch):
+    """Wire the family's chip dataset (the reference generators' twins,
+    data/chip_generators.py) from CLI globs."""
+    from satellite_computervision_tpu.data.chip_generators import (
+        ChipSource,
+        HybridChipDataset,
+        LSTMAutoencoderChipDataset,
+        LSTMChipDataset,
+        SiameseChipDataset,
+        UNetChipDataset,
+    )
+
+    k = (cfg.kernel_size, cfg.kernel_size)
+    if args.model == "siamese":
+        if not (args.before and args.after and args.labels):
+            sys.exit("siamese needs --before/--after/--labels npy globs")
+        return SiameseChipDataset(
+            _globs(args.before), _globs(args.after), _globs(args.labels),
+            batch_size=batch, unet_dim=k, seed=args.seed,
+        )
+    if args.model in ("convlstm", "lstm_autoencoder"):
+        if not args.series:
+            sys.exit(f"{args.model} needs --series npy glob of (T, C, H, W) chips")
+        cls = LSTMChipDataset if args.model == "convlstm" else LSTMAutoencoderChipDataset
+        return cls(
+            _globs(args.series), batch_size=batch,
+            dim=(args.series_dim, args.series_dim),
+            n_channels=len(cfg.bands), n_timesteps=cfg.n_time, seed=args.seed,
+        )
+    if args.model == "hybrid":
+        if not (args.unet_source and args.series and args.labels):
+            sys.exit("hybrid needs --unet-source name=glob, --series and --labels")
+        sources = {}
+        for spec in args.unet_source:
+            name, _, pattern = spec.partition("=")
+            if not pattern:
+                sys.exit(f"--unet-source wants name=glob, got {spec!r}")
+            sources[name] = ChipSource.named(name, _globs(pattern))
+        return HybridChipDataset(
+            sources=sources,
+            s2_series_files=_globs(args.series),
+            s1_series_files=_globs(args.series_s1) if args.series_s1 else None,
+            lstm_dim=(cfg.n_time, args.series_dim, args.series_dim, len(cfg.bands)),
+            label_files=_globs(args.labels),
+            batch_size=batch, unet_dim=k, n_classes=cfg.num_classes,
+            seed=args.seed,
+        )
+    sys.exit(f"no npy data plumbing for family {args.model!r}")
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__)
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
     ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
-    ap.add_argument("--model", choices=["unet", "deeplab"], default="unet",
-                    help="deeplab = DeepLab-v3+ResNet50 (the parking-lot "
-                    "config of BASELINE.json #2)")
-    ap.add_argument("--train", required=True, help="glob of training TFRecords")
+    ap.add_argument("--model", choices=TFRECORD_FAMILIES + NPY_FAMILIES, default=None,
+                    help="model family (default: the config's); deeplab = "
+                    "DeepLab-v3+ResNet50 (BASELINE.json #2)")
+    ap.add_argument("--train", help="glob of training TFRecords (tfrecord families)")
     ap.add_argument("--eval", help="glob of eval TFRecords")
+    # npy-chip family inputs
+    ap.add_argument("--before", help="siamese: glob of before-chip npys")
+    ap.add_argument("--after", help="siamese: glob of after-chip npys")
+    ap.add_argument("--labels", help="siamese/hybrid: glob of label npys")
+    ap.add_argument("--series", help="convlstm/lstm_autoencoder/hybrid: glob of (T,C,H,W) npys")
+    ap.add_argument("--series-s1", help="hybrid: optional S1 series glob (divisor -50)")
+    ap.add_argument("--series-dim", type=int, default=32,
+                    help="spatial side of timeseries chips")
+    ap.add_argument("--unet-source", action="append",
+                    help="hybrid: repeatable name=glob of unet-input chips")
     ap.add_argument("--ckpt", default="runs/default", help="checkpoint root")
     ap.add_argument("--epochs", type=int)
     ap.add_argument("--batch-size", type=int)
@@ -50,81 +132,98 @@ def main(argv=None):
                     help="BatchNorm running-stat momentum; the Keras-parity "
                     "0.99 needs thousands of steps before eval stabilizes")
     ap.add_argument("--resume", action="store_true", help="restore best ckpt + seed best metric")
+    ap.add_argument("--orbax", action="store_true",
+                    help="checkpoint via orbax (sharded-state capable) instead of msgpack")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
+    args.model = args.model or cfg.family
+    family = get_family(args.model)
     batch = args.batch_size or cfg.batch_size
     epochs = args.epochs or cfg.epochs
     lr = args.lr or cfg.learning_rate
-    bands = list(cfg.bands)
-
-    train_files = sorted(glob.glob(args.train))
-    if not train_files:
-        sys.exit(f"no files match {args.train!r}")
-    eval_files = sorted(glob.glob(args.eval)) if args.eval else []
-
-    train_it = get_training_dataset(
-        train_files, bands + [cfg.response], kernel_size=cfg.kernel_size,
-        batch_size=batch, shuffle_buffer=min(cfg.shuffle_buffer, 2048), seed=args.seed,
-    )
-    preprocess = make_preprocess_fn(bands, cfg.response, axes=cfg.axes, splits=cfg.splits)
-
-    head = "sigmoid" if cfg.num_classes == 1 else "softmax"
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    if args.model == "deeplab":
-        model = DeepLabV3Plus(
-            n_classes=cfg.num_classes, head=head, threshold=cfg.threshold, dtype=dtype
-        )
-    else:
-        model = UNet(
-            n_classes=cfg.num_classes, head=head, threshold=cfg.threshold,
-            remat=args.remat, bn_momentum=args.bn_momentum, dtype=dtype,
-        )
-    state = create_train_state(
-        model, jax.random.key(args.seed),
-        jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(bands))),
-        tx=optax.adam(lr),
-    )
-    loss_fn = losses.make_loss(cfg.loss, **cfg.loss_kwargs)
-    if cfg.loss == "weighted_bce":
-        loss_fn = lambda t, p: losses.weighted_bce(t, p, logits=True, **cfg.loss_kwargs)
 
-    ckpt = CheckpointManager(args.ckpt)
+    # ---- model -----------------------------------------------------------
+    kw = {"dtype": dtype}
+    if args.model == "unet":
+        kw.update(remat=args.remat, bn_momentum=args.bn_momentum)
+    model = family.build(cfg, **kw)
+    loss_fn, pred_key = family.loss(cfg)
+
+    example = tuple(jnp.asarray(a) for a in family.example_inputs(cfg))
+    state = create_train_state(
+        model, jax.random.key(args.seed), example[0],
+        tx=optax.adam(lr), model_args=example[1:],
+    )
+
+    ckpt = CheckpointManager(args.ckpt, backend="orbax" if args.orbax else "msgpack")
     trainer = Trainer(
-        state, loss_fn, pred_key="logits",
+        state, loss_fn, pred_key=pred_key,
         num_classes=max(cfg.num_classes, 2), monitor=cfg.monitor,
+        mode="min" if cfg.monitor == "loss" else "max",
         checkpoint_manager=ckpt, seed=args.seed,
     )
 
+    # ---- data ------------------------------------------------------------
     key = jax.random.key(args.seed + 1)
+    if args.model in TFRECORD_FAMILIES:
+        if not args.train:
+            sys.exit(f"--train tfrecord glob is required for {args.model}")
+        bands = list(cfg.bands)
+        train_files = _globs(args.train)
+        eval_files = sorted(glob.glob(args.eval)) if args.eval else []
+        train_it = get_training_dataset(
+            train_files, bands + [cfg.response], kernel_size=cfg.kernel_size,
+            batch_size=batch, shuffle_buffer=min(cfg.shuffle_buffer, 2048),
+            seed=args.seed,
+        )
+        response_depth = cfg.num_classes if cfg.num_classes > 1 else None
+        preprocess = make_preprocess_fn(
+            bands, cfg.response, axes=cfg.axes, splits=cfg.splits,
+            response_depth=response_depth,
+        )
 
-    def preprocessed(iterator):
-        nonlocal key
-        for raw in iterator:
-            key, sub = jax.random.split(key)
-            yield preprocess(raw, sub, train=True)
+        def train_batches():
+            nonlocal key
+            for raw in iter(train_it):
+                key, sub = jax.random.split(key)
+                yield preprocess(raw, sub, train=True)
 
-    def eval_iter():
-        nonlocal key
-        it = get_eval_dataset(eval_files, bands + [cfg.response],
-                              kernel_size=cfg.kernel_size, batch_size=batch)
-        for raw in it:
-            key, sub = jax.random.split(key)
-            yield preprocess(raw, sub, train=False)
+        def eval_iter():
+            nonlocal key
+            it = get_eval_dataset(eval_files, bands + [cfg.response],
+                                  kernel_size=cfg.kernel_size, batch_size=batch)
+            for raw in it:
+                key, sub = jax.random.split(key)
+                yield preprocess(raw, sub, train=False)
+
+        steps = args.steps_per_epoch or max(1, len(train_files) * 2)
+        eval_fn = eval_iter if eval_files else None
+    else:
+        ds = _build_npy_dataset(args, cfg, batch)
+        if len(ds) == 0:
+            sys.exit("not enough chips for one batch")
+
+        def train_batches():
+            while True:
+                for item in ds:
+                    # LSTM-AE yields (x, y, weights); trainer takes (x, y)
+                    yield item[:2] if len(item) == 3 else item
+
+        steps = args.steps_per_epoch or len(ds)
+        eval_fn = None
 
     if args.resume:
         restored, meta = load_checkpoint(f"{args.ckpt}/best", trainer.state)
         trainer.state = restored
-        if eval_files:
-            seeded = trainer.seed_best_from_eval(eval_iter())
-            print(f"resumed at step {int(restored.step)}, best {cfg.monitor}={trainer.best:.4f} ({seeded})")
+        if eval_fn is not None:
+            seeded = trainer.seed_best_from_eval(eval_fn())
+            print(f"resumed at step {int(restored.step)}, "
+                  f"best {cfg.monitor}={trainer.best:.4f} ({seeded})")
 
-    steps = args.steps_per_epoch or max(1, len(train_files) * 2)
-    trainer.fit(
-        preprocessed(iter(train_it)), epochs=epochs, steps_per_epoch=steps,
-        eval_fn=eval_iter if eval_files else None,
-    )
+    trainer.fit(train_batches(), epochs=epochs, steps_per_epoch=steps, eval_fn=eval_fn)
     print(f"done; best {cfg.monitor}={trainer.best}")
 
 

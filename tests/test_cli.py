@@ -30,6 +30,7 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     import train as train_cli
     import predict as predict_cli
 
+    from satellite_computervision_tpu.train import zoo
     from satellite_computervision_tpu.train.config import SOLAR_CONFIG
 
     # shrink the solar config for CPU speed
@@ -38,7 +39,8 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     )
     monkeypatch.setitem(train_cli.CONFIGS, "solar", small)
     monkeypatch.setitem(predict_cli.CONFIGS, "solar", small)
-    # and a small model
+    # and a small model: the train CLI builds through the zoo registry,
+    # the predict CLI through models.UNet
     import satellite_computervision_tpu.models as models
 
     orig_unet = models.UNet
@@ -48,7 +50,15 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
         kw.setdefault("factors", (2, 2))
         return orig_unet(**kw)
 
-    monkeypatch.setattr(train_cli, "UNet", small_unet)
+    fam = zoo.FAMILIES["unet"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "unet",
+        dataclasses.replace(
+            fam, build=lambda cfg, **kw: fam.build(
+                cfg, filters=(4, 8), factors=(2, 2), **kw
+            )
+        ),
+    )
     monkeypatch.setattr(predict_cli, "UNet", small_unet)
 
     chips = tmp_path / "train.tfrecord"
