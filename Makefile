@@ -1,6 +1,6 @@
 # Convenience targets. See README.md for details.
 
-.PHONY: test test-fast parity bench dryrun demo native clean
+.PHONY: test test-fast parity parity-log bench dryrun demo native clean
 
 test:
 	python -m pytest tests/ -q
@@ -9,7 +9,12 @@ test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
 parity:
-	SCV_TF_PARITY=1 python -m pytest tests/test_tf_parity.py tests/test_tfrecord.py -q
+	SCV_TF_PARITY=1 python -m pytest tests/test_tf_parity.py tests/test_keras_import.py tests/test_tfrecord.py -q
+
+# run the TF-parity suite and append the round's evidence to TF_PARITY_LOG.md
+parity-log:
+	@SCV_TF_PARITY=1 python -m pytest tests/test_tf_parity.py tests/test_keras_import.py -q | tail -1
+	@echo "record the output in TF_PARITY_LOG.md (see that file's header)"
 
 bench:
 	python bench.py
