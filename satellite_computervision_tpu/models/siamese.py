@@ -22,6 +22,9 @@ class SiameseUNet(nn.Module):
     factors: Sequence[int] = (2, 2, 2)
     threshold: float = 0.5
     output_bias: Optional[float] = None
+    # 2 = the documented reference intent; 1 = the shipped architecture
+    # (conv_block double-call bug) — required for Keras .h5 import
+    convs_per_block: int = 2
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -36,7 +39,8 @@ class SiameseUNet(nn.Module):
         skips = []
         for i, (feat, factor) in enumerate(zip(self.filters, self.factors)):
             encoder = EncoderBlock(
-                feat, pool=(factor, factor), name=f"encoder_{i}", **common
+                feat, pool=(factor, factor), n_convs=self.convs_per_block,
+                name=f"encoder_{i}", **common,
             )
             # One module instance applied to both towers = shared weights
             # (the reference reuses one Keras encoder_block the same way,

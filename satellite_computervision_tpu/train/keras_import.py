@@ -33,6 +33,7 @@ import jax
 __all__ = [
     "read_keras_h5_units",
     "load_keras_unet_h5",
+    "load_keras_siamese_h5",
 ]
 
 
@@ -224,6 +225,141 @@ def load_keras_unet_h5(path_or_bytes, params, batch_stats):
             bp, bs = _bn_params(unit)
             p[f"BatchNorm_{bn_idx}"].update(bp)
             s[f"BatchNorm_{bn_idx}"].update(bs)
+        for conv_idx, unit in ((0, units[2]), (1, units[4])):
+            _check_shape(p[f"Conv_{conv_idx}"]["kernel"], unit.tensors["kernel"], name)
+            p[f"Conv_{conv_idx}"].update(_conv_params(unit))
+
+    _check_shape(params["head"]["kernel"], head_unit.tensors["kernel"], "head")
+    params["head"].update(_conv_params(head_unit))
+
+    to_f32 = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), t)
+    return to_f32(params), to_f32(batch_stats)
+
+
+def load_keras_siamese_h5(path_or_bytes, params, batch_stats):
+    """Map a reference Siamese U-Net ``.h5`` onto ``models.SiameseUNet``.
+
+    Reference builder: get_siamese_layers / make_siamese_unet
+    (utils/model_tools.py:576-663) — weight-shared encoder_block Layers,
+    one shared DilatedSpatialPyramidPooling, functional decoder_blocks and
+    a sigmoid 'probs' head. The ASPP Layer *tracks* its sublayers in
+    creation order (cba 1x1, [cba2 unbuilt], cba3 fuse-1x1, then the
+    dilated 3x3s), so its units are assigned by kernel shape: the 1x1
+    whose input width is 4x features is the fuse conv; the 3x3s keep their
+    creation order (dilations 3, 6, 12 — dilation is not a weight).
+    Returns updated ``(params, batch_stats)``.
+    """
+    layers = read_keras_h5_units(path_or_bytes)
+
+    encoders: List[List[_Unit]] = []
+    aspp: Optional[List[_Unit]] = None
+    flat: List[_Unit] = []
+    for lname, units in layers:
+        if not units:
+            continue
+        nested = any("conv_batch_act" in u.path for u in units)
+        n_convs = sum(1 for u in units if u.kind == "conv")
+        if nested and n_convs >= 4:
+            if aspp is not None:
+                raise ValueError(f"second ASPP-like group {lname!r}")
+            aspp = units
+        elif nested:
+            encoders.append(units)
+        else:
+            flat.extend(units)
+
+    if aspp is None:
+        raise ValueError("no ASPP group found (not a siamese .h5?)")
+    head_unit = flat[-1]
+    if not flat or head_unit.kind != "conv":
+        raise ValueError("expected trailing head conv")
+    decoders: List[List[_Unit]] = []
+    for u in flat[:-1]:
+        if u.kind == "conv_transpose":
+            decoders.append([u])
+        else:
+            if not decoders:
+                raise ValueError("decoder units precede the first conv_transpose")
+            decoders[-1].append(u)
+    if len(decoders) != len(encoders):
+        raise ValueError(
+            f"{len(encoders)} encoder blocks but {len(decoders)} decoder levels"
+        )
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def _check_shape(dst, src, where):
+        if tuple(np.shape(dst)) != tuple(np.shape(src)):
+            raise ValueError(
+                f"{where}: kernel shape mismatch {np.shape(src)} (h5) vs "
+                f"{np.shape(dst)} (model)"
+            )
+
+    def assign_cba(p_tree, s_tree, conv_unit, bn_unit, where):
+        _check_shape(p_tree["Conv_0"]["kernel"], conv_unit.tensors["kernel"], where)
+        p_tree["Conv_0"].update(_conv_params(conv_unit))
+        bp, bs = _bn_params(bn_unit)
+        p_tree["BatchNorm_0"].update(bp)
+        s_tree["BatchNorm_0"].update(bs)
+
+    # encoders (single effective cba per block: the conv_block bug)
+    for i, units in enumerate(encoders):
+        convs = [u for u in units if u.kind == "conv"]
+        bns = [u for u in units if u.kind == "bn"]
+        name = f"encoder_{i}"
+        want = len([k for k in params[name]["ConvBlock_0"] if k.startswith("ConvBNAct_")])
+        if len(convs) != want:
+            raise ValueError(
+                f"{name}: h5 has {len(convs)} conv(s) per block but the model "
+                f"expects {want} — build SiameseUNet(convs_per_block={len(convs)})"
+            )
+        for ci, (cu, bu) in enumerate(zip(convs, bns)):
+            assign_cba(
+                params[name]["ConvBlock_0"][f"ConvBNAct_{ci}"],
+                batch_stats[name]["ConvBlock_0"][f"ConvBNAct_{ci}"],
+                cu, bu, name,
+            )
+
+    # ASPP: units by shape — blocks.ASPP order is 1x1, d3, d6, d12, fuse
+    convs = [u for u in aspp if u.kind == "conv"]
+    bns = [u for u in aspp if u.kind == "bn"]
+    if len(convs) != 5:
+        raise ValueError(f"ASPP: expected 5 conv units, got {len(convs)}")
+    features = convs[0].tensors["kernel"].shape[-1]
+    ones = [(c, b) for c, b in zip(convs, bns) if c.tensors["kernel"].shape[:2] == (1, 1)]
+    threes = [(c, b) for c, b in zip(convs, bns) if c.tensors["kernel"].shape[:2] == (3, 3)]
+    if len(ones) != 2 or len(threes) != 3:
+        raise ValueError("ASPP: expected two 1x1 and three 3x3 conv units")
+    fuse = max(ones, key=lambda cb: cb[0].tensors["kernel"].shape[2])
+    first = ones[0] if ones[1] is fuse else ones[1]
+    if fuse[0].tensors["kernel"].shape[2] != 4 * features:
+        raise ValueError("ASPP: could not identify the fuse conv by input width")
+    order = [first, *threes, fuse]
+    for ci, (cu, bu) in enumerate(order):
+        assign_cba(
+            params["aspp"][f"ConvBNAct_{ci}"],
+            batch_stats["aspp"][f"ConvBNAct_{ci}"],
+            cu, bu, f"aspp[{ci}]",
+        )
+
+    # decoders + head (same flat structure as the U-Net family)
+    for i, units in enumerate(decoders):
+        name = f"DecoderBlock_{i}"
+        p, st = params[name], batch_stats[name]
+        kinds = [u.kind for u in units]
+        if kinds != ["conv_transpose", "bn", "conv", "bn", "conv", "bn"]:
+            raise ValueError(f"{name}: unexpected decoder unit sequence {kinds}")
+        _check_shape(
+            p["ConvTranspose_0"]["kernel"],
+            units[0].tensors["kernel"].transpose(0, 1, 3, 2),
+            name,
+        )
+        p["ConvTranspose_0"].update(_conv_transpose_params(units[0]))
+        for bn_idx, unit in ((0, units[1]), (1, units[3]), (2, units[5])):
+            bp, bs = _bn_params(unit)
+            p[f"BatchNorm_{bn_idx}"].update(bp)
+            st[f"BatchNorm_{bn_idx}"].update(bs)
         for conv_idx, unit in ((0, units[2]), (1, units[4])):
             _check_shape(p[f"Conv_{conv_idx}"]["kernel"], unit.tensors["kernel"], name)
             p[f"Conv_{conv_idx}"].update(_conv_params(unit))

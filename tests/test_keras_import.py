@@ -237,3 +237,121 @@ def test_tf_exact_forward_parity(tmp_path, rng):
         model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))["probs"]
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_siamese_exact_forward_parity(tmp_path, rng):
+    """Reference Siamese U-Net (shared encoders + shared ASPP,
+    utils/model_tools.py:576-663, with the conv_block double-call bug) in
+    tf.keras -> .h5 -> load_keras_siamese_h5 -> identical forward output."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import tensorflow as tf
+    from tensorflow.keras import layers, models
+
+    class conv_batch_act(layers.Layer):
+        def __init__(self, nf, kernel_size=(3, 3), dilation_rate=1, **kw):
+            super().__init__(**kw)
+            self.conv_layer = layers.Conv2D(
+                nf, kernel_size, padding="same", dilation_rate=dilation_rate
+            )
+            self.bn_layer = layers.BatchNormalization()
+            self.act = layers.Activation("relu")
+
+        def call(self, x):
+            return self.act(self.bn_layer(self.conv_layer(x)))
+
+    class conv_block(layers.Layer):
+        def __init__(self, nf, name="conv_block", **kw):
+            super().__init__(name=name, **kw)
+            self.cba1 = conv_batch_act(nf)
+            self.cba2 = conv_batch_act(nf)
+
+        def call(self, x):
+            y = self.cba1(x)
+            y = self.cba1(x)  # reference double-call bug
+            return y
+
+    class encoder_block(layers.Layer):
+        def __init__(self, nf, pool=(2, 2), name="encoder_block", **kw):
+            super().__init__(name=name, **kw)
+            self.encoder = conv_block(nf)
+            self.pooler = layers.MaxPooling2D(pool, strides=pool)
+
+        def call(self, x):
+            e = self.encoder(x)
+            return self.pooler(e), e
+
+    class ASPP_layer(layers.Layer):
+        def __init__(self, nf, name="ASPP", **kw):
+            super().__init__(name=name, **kw)
+            self.cba = conv_batch_act(nf, (1, 1), 1)
+            self.cba2 = conv_batch_act(nf, (1, 1), 1)   # never called (ref)
+            self.cba3 = conv_batch_act(nf, (1, 1), 1)
+            self.cba3_3 = conv_batch_act(nf, (3, 3), 3)
+            self.cba3_6 = conv_batch_act(nf, (3, 3), 6)
+            self.cba3_12 = conv_batch_act(nf, (3, 3), 12)
+
+        def call(self, x):
+            out = layers.Concatenate(axis=-1)(
+                [self.cba(x), self.cba3_3(x), self.cba3_6(x), self.cba3_12(x)]
+            )
+            return self.cba3(out)
+
+    def decoder_block(x, concat, nf, up=(2, 2)):
+        d = layers.Conv2DTranspose(nf, up, strides=up, padding="same")(x)
+        d = layers.concatenate([concat, d], axis=-1)
+        d = layers.BatchNormalization()(d)
+        d = layers.Activation("relu")(d)
+        for _ in range(2):
+            d = layers.Conv2D(nf, (3, 3), padding="same")(d)
+            d = layers.BatchNormalization()(d)
+            d = layers.Activation("relu")(d)
+        return d
+
+    bands, filters, factors = 4, (4, 8), (2, 2)
+    input_a = layers.Input((None, None, bands))
+    input_b = layers.Input((None, None, bands))
+    pooled_a, pooled_b = input_a, input_b
+    net = {}
+    for i, (filt, factor) in enumerate(zip(filters, factors)):
+        enc = encoder_block(filt, (factor, factor), name=f"encoder_{i}")
+        pooled_a, enc_a = enc(pooled_a)
+        pooled_b, enc_b = enc(pooled_b)
+        net[i] = layers.Concatenate(axis=-1)([enc_b, enc_a])
+    aspp = ASPP_layer(filters[-1] * 2)
+    squeezed = layers.Concatenate(axis=-1)([aspp(pooled_b), aspp(pooled_a)])
+    d = squeezed
+    for j in range(len(filters) - 1, -1, -1):
+        d = decoder_block(d, net[j], filters[j], (factors[j], factors[j]))
+    probs = layers.Conv2D(1, (1, 1), activation="sigmoid", name="probs")(d)
+    m = models.Model(inputs=[input_a, input_b], outputs=[probs])
+
+    g = np.random.default_rng(11)
+    for v in m.weights:
+        shape = v.shape.as_list()
+        if "moving_variance" in v.name or "gamma" in v.name:
+            v.assign(g.uniform(0.5, 1.5, shape).astype(np.float32))
+        else:
+            v.assign((g.normal(size=shape) * 0.2).astype(np.float32))
+    path = str(tmp_path / "siamese.h5")
+    m.save(path)
+
+    xa = (rng.normal(size=(2, 32, 32, bands)) * 0.5).astype(np.float32)
+    xb = (rng.normal(size=(2, 32, 32, bands)) * 0.5).astype(np.float32)
+    want = m.predict([xa, xb], verbose=0)
+
+    from satellite_computervision_tpu.models import SiameseUNet
+    from satellite_computervision_tpu.train.keras_import import load_keras_siamese_h5
+
+    model = SiameseUNet(filters=filters, factors=factors, convs_per_block=1)
+    # model(before, after): reference input_a is T2 (after), input_b T1
+    variables = model.init(jax.random.key(0), jnp.asarray(xb), jnp.asarray(xa))
+    params, stats = load_keras_siamese_h5(
+        path, variables["params"], variables["batch_stats"]
+    )
+    got = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(xb), jnp.asarray(xa)
+        )["probs"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
