@@ -19,7 +19,7 @@ asset set. Network fetch + COG decode stay in cloud.pc / geo.geotiff.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

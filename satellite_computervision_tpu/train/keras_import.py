@@ -24,7 +24,7 @@ Tensor conventions (verified empirically against tf.keras on this image):
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

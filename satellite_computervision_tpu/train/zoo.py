@@ -12,9 +12,8 @@ the builders' own signatures and the generator shapes that feed them
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
-import jax.numpy as jnp
 import numpy as np
 
 from satellite_computervision_tpu.models import losses

@@ -22,15 +22,12 @@ import argparse
 import glob
 import sys
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from satellite_computervision_tpu.data import get_eval_dataset, get_training_dataset
 from satellite_computervision_tpu.data.pipeline import make_preprocess_fn
-from satellite_computervision_tpu.models import DeepLabV3Plus, UNet, losses
 from satellite_computervision_tpu.train import (
     CheckpointManager,
     Trainer,
@@ -60,7 +57,6 @@ def _build_npy_dataset(args, cfg, batch):
         LSTMAutoencoderChipDataset,
         LSTMChipDataset,
         SiameseChipDataset,
-        UNetChipDataset,
     )
 
     k = (cfg.kernel_size, cfg.kernel_size)
