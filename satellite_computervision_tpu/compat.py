@@ -194,11 +194,34 @@ def get_blob_weights(url, target):
     return load_remote_weights(url, target)
 
 
-def get_blob_model(model_url=None, weights_url=None, target=None):
-    """model_tools.py:1204 — remote checkpoint restore (msgpack, not .h5)."""
+def get_blob_model(model_url=None, weights_url=None, target=None,
+                   batch_stats=None, family: str = "unet"):
+    """model_tools.py:1204 — remote model restore.
+
+    The reference streams Keras ``.h5``/``.hdf5`` blobs from Azure over
+    https; URLs ending in those suffixes are fetched and mapped through
+    train.keras_import (``target``/``batch_stats`` = the flax trees of a
+    ``UNet(convs_per_block=1)`` / ``SiameseUNet(convs_per_block=1)``,
+    ``family`` picks the mapper). Anything else restores this framework's
+    msgpack checkpoints."""
+    import urllib.request
+
+    url = weights_url or model_url
+    base = url.split("?")[0].lower()
+    if base.endswith((".h5", ".hdf5")):
+        from satellite_computervision_tpu.train import keras_import
+
+        with urllib.request.urlopen(url) as resp:
+            blob = resp.read()
+        loader = (
+            keras_import.load_keras_siamese_h5
+            if family == "siamese"
+            else keras_import.load_keras_unet_h5
+        )
+        return loader(blob, target, batch_stats)
     from satellite_computervision_tpu.train.checkpoint import load_remote_weights
 
-    return load_remote_weights(weights_url or model_url, target)
+    return load_remote_weights(url, target)
 
 
 # --- utils/prediction_tools.py --------------------------------------------

@@ -355,3 +355,37 @@ def test_tf_siamese_exact_forward_parity(tmp_path, rng):
         )["probs"]
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_get_blob_model_streams_h5_over_http(tmp_path, rng):
+    """compat.get_blob_model with an .h5 URL fetches and maps Keras weights
+    (utils/model_tools.py:1204-1269's Azure-blob streaming, over stdlib
+    http here)."""
+    import functools
+    import http.server
+    import threading
+
+    path = str(tmp_path / "ref.h5")
+    _synthetic_ref_unet_h5(path, rng)
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/ref.h5?sig=abc"
+        from satellite_computervision_tpu import compat
+
+        model = UNet(n_classes=1, filters=(4, 8), factors=(2, 2),
+                     head="sigmoid", convs_per_block=1)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        params, stats = compat.get_blob_model(
+            model_url=url, target=variables["params"],
+            batch_stats=variables["batch_stats"],
+        )
+        with h5py.File(path, "r") as f:
+            want = np.asarray(f["logits"]["logits/kernel:0"])
+        np.testing.assert_allclose(np.asarray(params["head"]["kernel"]), want)
+    finally:
+        server.shutdown()
