@@ -31,23 +31,31 @@ from satellite_computervision_tpu.inference.batch import list_export_files, run_
 from satellite_computervision_tpu.inference.mixer import read_mixer
 from satellite_computervision_tpu.models import DeepLabV3Plus, UNet
 from satellite_computervision_tpu.train import create_train_state, load_checkpoint
-from satellite_computervision_tpu.train.config import PARKING_CONFIG, SOLAR_CONFIG
+from satellite_computervision_tpu.train.config import CONFIGS as _ALL_CONFIGS
 
-CONFIGS = {"solar": SOLAR_CONFIG, "parking": PARKING_CONFIG}
+CONFIGS = dict(_ALL_CONFIGS)
 
 
 def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
-    kwargs = dict(
-        n_classes=cfg.num_classes,
-        head="sigmoid" if cfg.num_classes == 1 else "softmax",
-        threshold=cfg.threshold,
-        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-    )
-    model = DeepLabV3Plus(**kwargs) if arch == "deeplab" else UNet(**kwargs)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if arch in ("unet", "deeplab"):
+        kwargs = dict(
+            n_classes=cfg.num_classes,
+            head="sigmoid" if cfg.num_classes == 1 else "softmax",
+            threshold=cfg.threshold,
+            dtype=dtype,
+        )
+        model = DeepLabV3Plus(**kwargs) if arch == "deeplab" else UNet(**kwargs)
+        example = (jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(cfg.bands))),)
+    else:
+        from satellite_computervision_tpu.train.zoo import get_family
+
+        family = get_family(arch)
+        model = family.build(cfg, dtype=dtype)
+        example = tuple(jnp.asarray(a) for a in family.example_inputs(cfg))
     state = create_train_state(
-        model, jax.random.key(0),
-        jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(cfg.bands))),
-        tx=optax.adam(1e-3),
+        model, jax.random.key(0), example[0], tx=optax.adam(1e-3),
+        model_args=example[1:],
     )
     state, meta = load_checkpoint(f"{ckpt_dir}/best", state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -57,11 +65,14 @@ def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["scene", "patches"])
-    ap.add_argument("--input", required=True)
+    ap.add_argument("mode", choices=["scene", "change", "patches"])
+    ap.add_argument("--input", help="scene/patches input (.npy / export dir)")
+    ap.add_argument("--input-before", help="change mode: before .npy scene")
+    ap.add_argument("--input-after", help="change mode: after .npy scene")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
-    ap.add_argument("--model", choices=["unet", "deeplab"], default="unet")
+    ap.add_argument("--model", choices=["unet", "deeplab", "siamese"], default=None,
+                    help="default: the config's family")
     ap.add_argument("--output", help="scene mode: output .tif path")
     ap.add_argument("--outdir", help="patches mode: output directory")
     ap.add_argument("--base", default="pred", help="patches mode: output basename")
@@ -75,9 +86,40 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
-    model, variables = load_model(cfg, args.ckpt, arch=args.model)
+    arch = args.model or ("siamese" if cfg.family == "siamese" else "unet")
+    model, variables = load_model(cfg, args.ckpt, arch=arch)
     predict = lambda chips: model.apply(variables, chips)["probs"]
 
+    if args.mode == "change":
+        # before/after scenes ride one engine pass as a 2C-band stack; the
+        # siamese towers split it back per chip (run_local's shape,
+        # utils/pc_tools.py:620-668)
+        if not (args.input_before and args.input_after):
+            sys.exit("change mode needs --input-before and --input-after")
+        before = np.load(args.input_before)
+        after = np.load(args.input_after)
+        if before.shape != after.shape:
+            sys.exit(f"scene shapes differ: {before.shape} vs {after.shape}")
+        nb = before.shape[-1]
+        stack = np.concatenate([before, after], axis=-1)
+        predict_pair = lambda chips: model.apply(
+            variables, chips[..., :nb], chips[..., nb:]
+        )["probs"]
+        engine = TiledInferenceEngine(
+            predict_pair, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
+            batch_size=args.batch_size, out_channels=1, blend=args.blend,
+            output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
+        )
+        pred = np.asarray(engine.predict_scene(stack))
+        out = args.output or "change.tif"
+        writer = write_cog if args.cog else write_geotiff
+        writer(out, pred, transform=tuple(args.transform) if args.transform else None,
+               crs=args.crs)
+        print(f"wrote {out} shape={pred.shape}")
+        return
+
+    if not args.input:
+        sys.exit("--input is required for scene/patches modes")
     if args.mode == "scene":
         scene = np.load(args.input)
         if scene.ndim == 2:

@@ -142,3 +142,52 @@ def test_predict_patches_cli(tmp_path, monkeypatch):
     ])
     out = list((tmp_path / "preds").glob("demo-*.tfrecords"))
     assert len(out) == 1
+
+
+def test_predict_change_cli(tmp_path, monkeypatch):
+    """change mode: before/after scenes -> siamese tiled change map."""
+    import dataclasses
+
+    import predict as predict_cli
+
+    from satellite_computervision_tpu.train.config import CHANGE_CONFIG
+    from satellite_computervision_tpu.train import create_train_state, save_checkpoint
+    from satellite_computervision_tpu.train import zoo
+    import jax, jax.numpy as jnp, optax
+
+    small = dataclasses.replace(CHANGE_CONFIG, kernel_size=32, kernel_buffer=16)
+    monkeypatch.setitem(predict_cli.CONFIGS, "change", small)
+    fam = zoo.FAMILIES["siamese"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "siamese",
+        dataclasses.replace(
+            fam, build=lambda cfg, **kw: fam.build(cfg, filters=(4,), factors=(2,), **kw)
+        ),
+    )
+
+    model = zoo.FAMILIES["siamese"].build(small, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 32, 32, 4))
+    state = create_train_state(model, jax.random.key(0), x, tx=optax.adam(1e-3),
+                               model_args=(x,))
+    ckpt = str(tmp_path / "run")
+    save_checkpoint(f"{ckpt}/best", state, {"mean_iou": 0.5}, step=1)
+
+    rng = np.random.default_rng(0)
+    before = rng.normal(size=(96, 96, 4)).astype(np.float32)
+    after = before + rng.normal(0, 0.1, before.shape).astype(np.float32)
+    np.save(tmp_path / "before.npy", before)
+    np.save(tmp_path / "after.npy", after)
+
+    out_tif = str(tmp_path / "change.tif")
+    predict_cli.main([
+        "change", "--input-before", str(tmp_path / "before.npy"),
+        "--input-after", str(tmp_path / "after.npy"),
+        "--ckpt", ckpt, "--config", "change", "--output", out_tif,
+        "--crs", "EPSG:32617", "--transform", "10", "0", "0", "0", "-10", "0",
+        "--batch-size", "4", "--blend", "overwrite",
+    ])
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    pred, meta = read_geotiff(out_tif)
+    assert pred.shape == (96, 96, 1)
+    assert np.isfinite(pred).all()
