@@ -202,3 +202,49 @@ def predict_scene(
             predict_fn, kernel=kernel, buffer=buffer, batch_size=batch_size
         )
     return engine.predict_scene(scene)
+
+
+def resign_vrt(
+    filename: str,
+    element_tag: str = "SourceFilename",
+    signer: Optional[Callable[[str], str]] = None,
+    suffix: str = "_resigned",
+) -> str:
+    """Refresh the SAS tokens inside a GDAL VRT's source URLs
+    (utils/pc_tools.py:55-81). A VRT is plain XML, so no GDAL is needed:
+    every ``element_tag`` element whose text is an http(s) URL is re-signed
+    (token query string replaced via ``signer``, default
+    planetary_computer.sign on the bare URL), nested ``.vrt`` sources are
+    re-signed recursively (warped VRTs use the SourceDataset tag, as the
+    reference does), and the rewritten tree is written alongside the input
+    as ``<stem><suffix>.vrt``. Returns the written path.
+    """
+    import os
+    import xml.etree.ElementTree as ET
+
+    if signer is None:
+        try:
+            import planetary_computer
+        except ImportError as e:  # pragma: no cover - absent in this image
+            raise ImportError(
+                "no signer given and planetary-computer is not installed"
+            ) from e
+        signer = lambda url: planetary_computer.sign(url)
+
+    tree = ET.parse(filename)
+    root = tree.getroot()
+    parent = os.path.dirname(os.path.abspath(filename))
+    stem, _ = os.path.splitext(os.path.basename(filename))
+
+    for item in root.iter(element_tag):
+        text = item.text or ""
+        if text.startswith("http"):
+            item.text = signer(text.split("?")[0])
+        elif text.endswith(".vrt"):
+            sub = text if os.path.isabs(text) else os.path.join(parent, text)
+            sub_tag = "SourceDataset" if "warped" in os.path.basename(sub) else element_tag
+            item.text = resign_vrt(sub, sub_tag, signer=signer, suffix=suffix)
+
+    out = os.path.join(parent, f"{stem}{suffix}.vrt")
+    tree.write(out)
+    return out

@@ -309,6 +309,7 @@ from satellite_computervision_tpu.cloud.calibration import (  # noqa: F401
 # --- utils/pc_tools.py -----------------------------------------------------
 from satellite_computervision_tpu.cloud.pc import (  # noqa: F401
     retry as recursive_api_try,   # pc_tools.py:44 (bounded, unlike the ref)
+    resign_vrt,                   # pc_tools.py:55 (pure-XML, no GDAL)
     harmonize_to_old,             # pc_tools.py:284
     normalize_xarray as normalize_dataArray,  # pc_tools.py:90
     trim_to_chunk_multiple as trim_dataArray,  # pc_tools.py:109

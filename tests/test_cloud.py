@@ -135,3 +135,33 @@ def test_split_files():
     naip, label = split_files(files, labels=["naip", "label"])
     assert naip == ["/d/naip/a_b_c_1_2.npy"]
     assert label == ["/d/label/a_b_c_1_2.npy"]
+
+
+def test_resign_vrt_rewrites_tokens(tmp_path):
+    """resign_vrt (utils/pc_tools.py:55-81) without GDAL: http sources get
+    fresh tokens via the signer, nested/warped VRTs re-sign recursively."""
+    from satellite_computervision_tpu.cloud.pc import resign_vrt
+
+    inner = tmp_path / "warped_part.vrt"
+    inner.write_text(
+        "<VRTDataset><SourceDataset>"
+        "https://example.blob.core.windows.net/naip/a.tif?sig=OLD"
+        "</SourceDataset></VRTDataset>"
+    )
+    outer = tmp_path / "mosaic.vrt"
+    outer.write_text(
+        "<VRTDataset><VRTRasterBand>"
+        "<SimpleSource><SourceFilename>"
+        "https://example.blob.core.windows.net/naip/b.tif?sig=OLD"
+        "</SourceFilename></SimpleSource>"
+        f"<SimpleSource><SourceFilename>{inner.name}</SourceFilename></SimpleSource>"
+        "</VRTRasterBand></VRTDataset>"
+    )
+
+    signer = lambda url: url + "?sig=NEW"
+    out = resign_vrt(str(outer), signer=signer)
+    text = open(out).read()
+    assert "b.tif?sig=NEW" in text and "sig=OLD" not in text
+    assert "warped_part_resigned.vrt" in text
+    inner_out = tmp_path / "warped_part_resigned.vrt"
+    assert "a.tif?sig=NEW" in inner_out.read_text()
