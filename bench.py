@@ -244,6 +244,19 @@ def profile_components():
     stacked = (time.perf_counter() - t0) / len(scenes)
     print(f"stacked predict_scene_batch: {stacked:.3f}s/scene ({mpix / stacked:.2f} MPix/s)")
 
+    # production seam-free mode: hann feathering over the full-cover grid
+    hann = TiledInferenceEngine(
+        engine.predict_fn, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+        out_channels=1, blend="hann", index_mode="grid",
+        preprocess_fn=engine.preprocess_fn, output_transform=engine.output_transform,
+    )
+    np.asarray(hann.predict_scene(staged))  # compile + warm
+    t0 = time.perf_counter()
+    for out in hann.predict_scenes(scenes, readback=True):
+        pass
+    hann_s = (time.perf_counter() - t0) / len(scenes)
+    print(f"hann-blend pipeline: {hann_s:.3f}s/scene ({mpix / hann_s:.2f} MPix/s)")
+
 
 if __name__ == "__main__":
     if "--overlap" in sys.argv:

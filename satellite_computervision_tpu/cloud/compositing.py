@@ -92,8 +92,13 @@ def normalize_composite(
     normalize_dataArray over 'band' (per-pixel standardization across
     bands, utils/pc_tools.py:90-107, :646-648)."""
     composite = np.asarray(composite, np.float32)
-    mean = np.nanmean(composite, axis=axis, keepdims=True)
-    std = np.nanstd(composite, axis=axis, keepdims=True)
+    import warnings
+
+    with warnings.catch_warnings():
+        # pixels NaN in every band (cloud-masked everywhere) stay NaN
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mean = np.nanmean(composite, axis=axis, keepdims=True)
+        std = np.nanstd(composite, axis=axis, keepdims=True)
     return (composite - mean) / (std + epsilon)
 
 
