@@ -117,7 +117,9 @@ def make_preprocess_fn(
 
     @functools.partial(jax.jit, static_argnames=("train",))
     def preprocess(batch: Dict[str, jnp.ndarray], key, train: bool = True):
-        batch = dict(batch)
+        # accept reduced-precision staged batches (TrainIterator
+        # stage_dtype=float16 halves H2D bytes); all math runs in f32
+        batch = {k: v.astype(jnp.float32) for k, v in batch.items()}
         for name, fn in derived.items():
             batch[name] = fn(batch)
 
@@ -224,6 +226,7 @@ class TrainIterator:
         seed: int = 0,
         prefetch: int = 2,
         drop_remainder: Optional[bool] = None,
+        stage_dtype=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -231,6 +234,13 @@ class TrainIterator:
         self.repeat = repeat
         self.seed = seed
         self.prefetch = prefetch
+        # Optional H2D staging dtype (e.g. np.float16): batches cross the
+        # host->device link at half the bytes — usually the training
+        # bottleneck on bandwidth-starved links — and the jitted preprocess
+        # casts back to f32 on device. Sentinel-2 DNs (<= ~16k) fit f16 with
+        # ~1e-3 relative rounding, far below sensor noise; default None
+        # keeps exact f32 staging (the TF-parity configuration).
+        self.stage_dtype = stage_dtype
         # repeating (training) streams default to static shapes; single-pass
         # (eval) streams keep the tail batch
         self.drop_remainder = repeat if drop_remainder is None else drop_remainder
@@ -242,8 +252,14 @@ class TrainIterator:
             it = iter(self.dataset)
             if self.shuffle_buffer > 1:
                 it = _shuffled(it, self.shuffle_buffer, rng)
-            yield from _batched(it, self.batch_size, self.dataset.feature_names,
-                                self.drop_remainder)
+            batches = _batched(it, self.batch_size, self.dataset.feature_names,
+                               self.drop_remainder)
+            if self.stage_dtype is not None:
+                dt = self.stage_dtype
+                batches = (
+                    {name: arr.astype(dt) for name, arr in b.items()} for b in batches
+                )
+            yield from batches
             epoch += 1
             if not self.repeat:
                 return
@@ -262,9 +278,11 @@ def get_training_dataset(
     seed: int = 0,
     compression: Optional[str] = "GZIP",
     workers: int = 2,
+    stage_dtype=None,
 ) -> TrainIterator:
     ds = ChipDataset(files, feature_names, kernel_size, compression, workers=workers)
-    return TrainIterator(ds, batch_size, shuffle_buffer, repeat, seed)
+    return TrainIterator(ds, batch_size, shuffle_buffer, repeat, seed,
+                         stage_dtype=stage_dtype)
 
 
 def get_eval_dataset(

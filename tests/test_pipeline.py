@@ -107,6 +107,25 @@ def test_parallel_workers_same_examples(tmp_path):
     assert sorted(map(key, serial)) == sorted(map(key, parallel))
 
 
+def test_f16_staging_matches_f32(tmp_path):
+    """stage_dtype=float16 halves the H2D bytes; the jitted preprocess
+    casts back to f32 on device, so outputs match full-precision staging
+    to f16 rounding (~1e-3 relative)."""
+    path = tmp_path / "c.tfrecord"
+    _write_chips(path)
+    mk = lambda dt: iter(get_training_dataset(
+        [str(path)], BANDS + ["landcover"], kernel_size=K,
+        batch_size=4, shuffle_buffer=8, seed=7, stage_dtype=dt))
+    raw16, raw32 = next(mk(np.float16)), next(mk(None))
+    assert raw16["B2"].dtype == np.float16
+    pre = make_preprocess_fn(BANDS, "landcover", axes=(0, 1), augment=False)
+    x16, y16 = pre(raw16, jax.random.key(0))
+    x32, y32 = pre(raw32, jax.random.key(0))
+    assert x16.dtype == x32.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x32), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+
+
 def test_unet_remat_forward_matches():
     import jax
     import jax.numpy as jnp
