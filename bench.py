@@ -251,6 +251,10 @@ def profile_components():
         preprocess_fn=engine.preprocess_fn, output_transform=engine.output_transform,
     )
     np.asarray(hann.predict_scene(staged))  # compile + warm
+    hann_comp = t(lambda: np.asarray(hann.predict_scene(staged)[0, 0, 0]))
+    print(f"hann device-resident: {hann_comp:.3f}s "
+          f"({mpix / hann_comp:.1f} MPix/s; 64-chip full-cover grid + blend "
+          f"vs overwrite's 36-chip reference grid)")
     t0 = time.perf_counter()
     for out in hann.predict_scenes(scenes, readback=True):
         pass

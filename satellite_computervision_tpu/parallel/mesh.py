@@ -66,7 +66,12 @@ def host_local_batch_to_global(batch, mesh: Mesh, axis: str = "data"):
 
 def initialize_distributed(coordinator: Optional[str] = None, **kwargs):
     """Multi-host bootstrap (SURVEY.md §2.9): call once per process before
-    building meshes on a multi-host TPU slice. No-op for single-process."""
-    if jax.process_count() > 1 or coordinator is None:
+    building meshes on a multi-host slice, and before ANY other JAX call —
+    probing the backend first (jax.devices/process_count) would pin the
+    process single-host, which is why this guard uses is_initialized()
+    rather than process_count(). No-op without a coordinator or when
+    already initialized. Exercised for real by tests/test_multihost.py
+    (2 CPU processes over Gloo)."""
+    if coordinator is None or jax.distributed.is_initialized():
         return
     jax.distributed.initialize(coordinator_address=coordinator, **kwargs)

@@ -1,0 +1,81 @@
+"""Worker process for the multi-host bootstrap smoke test.
+
+Spawned (twice) by tests/test_multihost.py: each process brings up 2
+virtual CPU devices, joins a 2-process jax.distributed cluster over Gloo
+(the CPU stand-in for a multi-host TPU slice's DCN bootstrap), builds the
+global 4-device data mesh through parallel.mesh.make_mesh, assembles its
+host-local batch shard into global arrays via host_local_batch_to_global
+(per-host data sharding, SURVEY.md §2.9), and runs two data-parallel
+train steps. Prints ``RESULT <json>`` with the per-step losses so the
+parent test can check cross-process agreement and single-process parity.
+
+Not a pytest module (no ``test_`` prefix) — run as
+``python multihost_worker.py <port> <process_id>``.
+"""
+
+import os
+import sys
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    port, pid = sys.argv[1], int(sys.argv[2])
+
+    from satellite_computervision_tpu.parallel.mesh import (
+        host_local_batch_to_global,
+        initialize_distributed,
+        make_mesh,
+    )
+
+    initialize_distributed(
+        f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4 and jax.local_device_count() == 2
+
+    from satellite_computervision_tpu.models import UNet, losses
+    from satellite_computervision_tpu.parallel.data_parallel import (
+        make_parallel_train_step,
+        shard_train_state,
+    )
+    from satellite_computervision_tpu.train.trainer import create_train_state
+
+    mesh = make_mesh()  # 1-D data mesh over the 4 global devices
+    model = UNet(n_classes=1, filters=(4,), factors=(2,), head="sigmoid")
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 16, 16, 2)), tx=optax.adam(1e-2)
+    )
+    state = shard_train_state(state, mesh)
+    loss_fn = lambda y, p: losses.weighted_bce(y, p, pos_weight=1.0, logits=True)
+    step_fn = make_parallel_train_step(loss_fn, mesh, pred_key="logits")
+
+    # deterministic global batch; each process loads ONLY its half (the
+    # multi-host data-loading contract: no process sees the full batch)
+    rng = np.random.default_rng(7)
+    gx = rng.normal(size=(4, 16, 16, 2)).astype(np.float32)
+    gy = (gx[..., :1] > 0.5).astype(np.float32)
+    lo, hi = pid * 2, (pid + 1) * 2
+    batch = host_local_batch_to_global((gx[lo:hi], gy[lo:hi]), mesh)
+
+    losses_out = []
+    for i in range(2):
+        state, out = step_fn(state, batch, jax.random.key(i))
+        losses_out.append(float(out["loss"]))
+    print("RESULT " + json.dumps(losses_out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
