@@ -70,6 +70,7 @@ class TiledInferenceEngine:
         max_rows: Optional[int] = None,
         preprocess_fn: Optional[Callable] = None,
         output_transform: Optional[Callable] = None,
+        pallas_blend=False,
     ):
         if blend not in ("overwrite", "sum", "hann"):
             raise ValueError(f"unknown blend mode {blend!r}")
@@ -99,6 +100,13 @@ class TiledInferenceEngine:
         # Optional fused output transform (e.g. probabilities -> uint8
         # (p * 255)) — shrinks the D2H leg the same way.
         self.output_transform = output_transform
+        # hann canvas assembly backend: False = XLA quadrant adds (default),
+        # True = single-pass Pallas stitch-accumulate kernel
+        # (pallas.stitch.hann_stitch), "interpret" = same kernel in
+        # interpreter mode (the CPU test path).
+        if pallas_blend not in (False, True, "interpret"):
+            raise ValueError(f"unknown pallas_blend {pallas_blend!r}")
+        self.pallas_blend = pallas_blend
         self._compiled = {}
         self._compiled_batch = {}
 
@@ -119,6 +127,7 @@ class TiledInferenceEngine:
         blend = self.blend
         predict_fn = self.predict_fn
         mode = self.index_mode
+        pallas_blend = self.pallas_blend
 
         if self.preprocess_fn is not None:
             # preprocess may add derived bands on device (e.g. NDVI): chips
@@ -225,6 +234,30 @@ class TiledInferenceEngine:
             canvas_h = (rows + 1) * kernel
             canvas_w = (cols + 1) * kernel
 
+            def extract(blended):
+                if prepadded:
+                    return jax.lax.dynamic_slice(
+                        blended, (half, half, 0), (rows * kernel, cols * kernel, c_out)
+                    )
+                if mode == "grid":
+                    # canvas origin == padded-scene origin; padded origin is
+                    # (half, half) before original pixel (0, 0)
+                    return jax.lax.dynamic_slice(blended, (half, half, 0), (h, w, c_out))
+                out = jnp.zeros((h, w, c_out), jnp.float32)
+                region = blended[
+                    half : half + rows * kernel, half : half + cols * kernel
+                ]
+                return jax.lax.dynamic_update_slice(out, region, (half, half, 0))
+
+            if pallas_blend:
+                from satellite_computervision_tpu.pallas.stitch import hann_stitch
+
+                blended = hann_stitch(
+                    weighted, kernel, rows, cols,
+                    interpret=(pallas_blend == "interpret"),
+                )
+                return extract(blended)
+
             blocks = weighted.reshape(rows, cols, side, side, c_out)
             blocks = jnp.pad(
                 blocks,
@@ -247,31 +280,12 @@ class TiledInferenceEngine:
                         ),
                     )
 
-            # sum of hann weights at each canvas pixel: separable over
-            # y/x because every chip window is the same outer product
-            n1 = np.arange(side, dtype=np.float32)
-            w1 = np.sqrt(
-                np.clip(0.5 - 0.5 * np.cos(2.0 * np.pi * (n1 + 0.5) / side), 1e-4, None)
-            )
-            wy = np.zeros(canvas_h, np.float32)
-            for r in range(rows):
-                wy[r * kernel : r * kernel + side] += w1
-            wx = np.zeros(canvas_w, np.float32)
-            for ci in range(cols):
-                wx[ci * kernel : ci * kernel + side] += w1
-            inv_w = 1.0 / np.maximum(wy[:, None] * wx[None, :], 1e-8)
+            # constant normalizer: the hann weight sum is input-independent
+            from satellite_computervision_tpu.pallas.stitch import hann_inverse_weights
+
+            inv_w = hann_inverse_weights(rows, cols, kernel, side)
             blended = acc * jnp.asarray(inv_w[..., None])
-            if prepadded:
-                return jax.lax.dynamic_slice(
-                    blended, (half, half, 0), (rows * kernel, cols * kernel, c_out)
-                )
-            if mode == "grid":
-                # canvas origin == padded-scene origin; padded origin is
-                # (half, half) before original pixel (0, 0)
-                return jax.lax.dynamic_slice(blended, (half, half, 0), (h, w, c_out))
-            out = jnp.zeros((h, w, c_out), jnp.float32)
-            region = blended[half : half + rows * kernel, half : half + cols * kernel]
-            return jax.lax.dynamic_update_slice(out, region, (half, half, 0))
+            return extract(blended)
 
         if output_transform is None:
             return run

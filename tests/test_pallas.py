@@ -81,3 +81,49 @@ def test_deterministic_per_key(rng):
 def test_augment_requires_key(rng):
     with pytest.raises(ValueError):
         fused_preprocess(np.zeros((1, 8, 8, 2), np.float32), interpret=True)
+
+
+# ---------------------------------------------------------------- stitch
+
+
+def _naive_hann_blend(weighted, kernel, rows, cols, side):
+    """Direct numpy reference: place each weighted chip at (r*k, c*k),
+    accumulate, divide by the (recomputed) weight sum."""
+    from satellite_computervision_tpu.pallas.stitch import hann_inverse_weights
+
+    c_out = weighted.shape[-1]
+    canvas = np.zeros(((rows + 1) * kernel, (cols + 1) * kernel, c_out), np.float32)
+    for r in range(rows):
+        for c in range(cols):
+            canvas[r * kernel : r * kernel + side,
+                   c * kernel : c * kernel + side] += weighted[r * cols + c]
+    return canvas * hann_inverse_weights(rows, cols, kernel, side)[..., None]
+
+
+def test_hann_stitch_matches_naive(rng):
+    from satellite_computervision_tpu.pallas.stitch import hann_stitch
+
+    k, buf, rows, cols, c_out = 16, 8, 3, 4, 2
+    side = k + buf
+    weighted = rng.normal(size=(rows * cols, side, side, c_out)).astype(np.float32)
+    out = np.asarray(hann_stitch(weighted, k, rows, cols, interpret=True))
+    ref = _naive_hann_blend(weighted, k, rows, cols, side)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["grid", "reference"])
+def test_engine_pallas_blend_matches_xla(rng, mode):
+    """The engine with pallas_blend='interpret' must reproduce the XLA
+    quadrant-add blend for both index modes."""
+    from satellite_computervision_tpu.inference import TiledInferenceEngine
+
+    scene = rng.normal(size=(70, 90, 3)).astype(np.float32)
+    mean_model = lambda chips: chips.mean(axis=-1, keepdims=True)
+    kwargs = dict(kernel=16, buffer=8, batch_size=4, out_channels=1,
+                  blend="hann", index_mode=mode)
+    xla = TiledInferenceEngine(mean_model, **kwargs)
+    pallas = TiledInferenceEngine(mean_model, pallas_blend="interpret", **kwargs)
+    a = np.asarray(xla.predict_scene(scene))
+    b = np.asarray(pallas.predict_scene(scene))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
