@@ -262,11 +262,79 @@ def profile_components():
     print(f"hann-blend pipeline: {hann_s:.3f}s/scene ({mpix / hann_s:.2f} MPix/s)")
 
 
+def profile_ops():
+    """--profile-ops: where does the engine program's device time go?
+    Ablation attribution (gather / model forward / crop+stitch) — each
+    stage timed as its own jitted program on device-resident data, with
+    the tunnel's 1-element readback floor reported for calibration.
+    (A jax.profiler .xplane trace needs TensorBoard to read; ablation
+    gives the same attribution and runs anywhere.)"""
+    rng = np.random.default_rng(0)
+    scene_u16 = rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
+    model, variables = build_model()
+    engine = make_engine(model, variables)
+    half = BUFFER // 2
+    side = KERNEL + BUFFER
+
+    staged = jax.device_put(jnp.asarray(scene_u16))
+    np.asarray(engine.predict_scene(staged))  # warm full program
+
+    corners = np.asarray(
+        [(y, x) for y in range(half, SCENE - side, KERNEL)
+         for x in range(half, SCENE - side, KERNEL)], np.int32)
+    n = len(corners)
+    n_pad = (-n) % BATCH
+    corners = np.concatenate([corners, np.repeat(corners[-1:], n_pad, 0)])
+
+    def gather_only(scene):
+        scene = (scene.astype(jnp.float32) / 10000.0)
+        chips = jax.vmap(
+            lambda yx: jax.lax.dynamic_slice(scene, (yx[0], yx[1], 0),
+                                             (side, side, BANDS))
+        )(jnp.asarray(corners))
+        return chips.sum()  # force materialization
+
+    def forward_only(chips):
+        groups = chips.reshape(-1, BATCH, side, side, BANDS)
+        preds = jnp.concatenate([
+            model.apply(variables, groups[i])["probs"].astype(jnp.float32)
+            for i in range(groups.shape[0])
+        ])
+        return preds.sum()
+
+    chips_dev = jax.device_put(
+        rng.normal(size=(len(corners), side, side, BANDS)).astype(np.float32))
+
+    def t(fn, *args, reps=5):
+        f = jax.jit(fn)
+        np.asarray(f(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor = t(lambda s: s[0, 0, 0].astype(jnp.float32) * 2, staged)
+    g = t(gather_only, staged)
+    fwd = t(forward_only, chips_dev)
+    full = t(lambda s: engine.predict_scene(s)[0, 0, 0], staged)
+    print(f"readback floor:        {floor*1e3:7.1f} ms")
+    print(f"preprocess+gather:     {(g - floor)*1e3:7.1f} ms ({n} chips of {side}^2)")
+    print(f"model forward (batched): {(fwd - floor)*1e3:5.1f} ms "
+          f"({len(corners)} chips, groups of {BATCH})")
+    print(f"full engine program:   {(full - floor)*1e3:7.1f} ms "
+          f"(crop+stitch+uint8 = remainder)")
+
+
 if __name__ == "__main__":
     if "--overlap" in sys.argv:
         overlap_experiment()
         sys.exit(0)
     if "--profile" in sys.argv:
         profile_components()
+        sys.exit(0)
+    if "--profile-ops" in sys.argv:
+        profile_ops()
         sys.exit(0)
     sys.exit(main())

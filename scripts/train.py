@@ -16,6 +16,9 @@ Sequence generators, utils/processing.py:456-1184):
   python scripts/train.py --config landcover --model hybrid \
       --unet-source naip='chips/naip/*.npy' --series 'chips/s2_series/*.npy' \
       --labels 'chips/label/*.npy' --ckpt runs/landcover
+  python scripts/train.py --config landcover --model hierarchical ...  \
+      # same inputs as hybrid; the auxiliary sub head trains on
+      # pairwise-coarsened classes
 """
 
 import argparse
@@ -38,7 +41,7 @@ from satellite_computervision_tpu.train.config import CONFIGS
 from satellite_computervision_tpu.train.zoo import get_family
 
 TFRECORD_FAMILIES = ("unet", "deeplab", "acnn")
-NPY_FAMILIES = ("siamese", "convlstm", "lstm_autoencoder", "hybrid")
+NPY_FAMILIES = ("siamese", "convlstm", "lstm_autoencoder", "hybrid", "hierarchical")
 
 
 def _globs(pattern):
@@ -76,9 +79,9 @@ def _build_npy_dataset(args, cfg, batch):
             dim=(args.series_dim, args.series_dim),
             n_channels=len(cfg.bands), n_timesteps=cfg.n_time, seed=args.seed,
         )
-    if args.model == "hybrid":
+    if args.model in ("hybrid", "hierarchical"):
         if not (args.unet_source and args.series and args.labels):
-            sys.exit("hybrid needs --unet-source name=glob, --series and --labels")
+            sys.exit(f"{args.model} needs --unet-source name=glob, --series and --labels")
         sources = {}
         for spec in args.unet_source:
             name, _, pattern = spec.partition("=")
@@ -202,11 +205,27 @@ def main(argv=None):
         if len(ds) == 0:
             sys.exit("not enough chips for one batch")
 
+        wrap = None
+        if args.model == "hierarchical":
+            # the mid-depth auxiliary head trains on coarsened classes —
+            # adjacent fine classes merged pairwise (sub = main // 2); the
+            # reference shipped the 3-head builder but no driver or target
+            # spec for this head (utils/model_tools.py:1016-1051)
+            import numpy as np
+
+            sub = max(2, cfg.num_classes // 2)
+            eye = np.eye(sub, dtype=np.float32)
+
+            def wrap(x, y):
+                idx = np.argmax(np.asarray(y), -1)
+                return x, (np.asarray(y), eye[np.minimum(idx // 2, sub - 1)])
+
         def train_batches():
             while True:
                 for item in ds:
                     # LSTM-AE yields (x, y, weights); trainer takes (x, y)
-                    yield item[:2] if len(item) == 3 else item
+                    x, y = item[:2] if len(item) == 3 else item
+                    yield wrap(x, y) if wrap else (x, y)
 
         steps = args.steps_per_epoch or len(ds)
         eval_fn = None

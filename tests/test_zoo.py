@@ -91,6 +91,42 @@ def test_cli_trains_siamese_on_npy_chips(tmp_path, monkeypatch):
     assert (tmp_path / "run" / "best" / "state.msgpack").exists()
 
 
+def test_cli_trains_hierarchical_on_npy_chips(tmp_path, monkeypatch):
+    """The 3-head hierarchical family through scripts/train.py: hybrid-style
+    npy inputs, coarsened-class targets for the auxiliary sub head."""
+    import train as train_cli
+
+    from satellite_computervision_tpu import testing as fx
+    from satellite_computervision_tpu.train.config import LANDCOVER_CONFIG
+    from satellite_computervision_tpu.train import zoo
+
+    fx.make_npy_chip_tree(
+        str(tmp_path / "chips"), sources={"naip": (4, 255.0)},
+        n_chips=4, dim=32, n_classes=8,
+    )
+    fx.make_series_chips(str(tmp_path / "series"), n_chips=4, n_time=6, dim=16)
+    small = dataclasses.replace(LANDCOVER_CONFIG, kernel_size=32, batch_size=2)
+    monkeypatch.setitem(train_cli.CONFIGS, "landcover", small)
+    orig = zoo.FAMILIES["hierarchical"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "hierarchical",
+        dataclasses.replace(
+            orig, build=lambda cfg, **kw: orig.build(cfg, **{**TINY["hierarchical"], **kw})
+        ),
+    )
+
+    ckpt = str(tmp_path / "run")
+    train_cli.main([
+        "--config", "landcover", "--model", "hierarchical",
+        "--unet-source", f"naip={tmp_path}/chips/naip/*.npy",
+        "--series", str(tmp_path / "series/*.npy"),
+        "--series-dim", "16",
+        "--labels", str(tmp_path / "chips/label/*.npy"),
+        "--ckpt", ckpt, "--epochs", "1", "--steps-per-epoch", "2",
+    ])
+    assert (tmp_path / "run" / "best" / "state.msgpack").exists()
+
+
 def test_cli_trains_convlstm_on_series(tmp_path, monkeypatch):
     import train as train_cli
 
