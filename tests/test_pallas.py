@@ -112,16 +112,20 @@ def test_hann_stitch_matches_naive(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["grid", "reference"])
-def test_engine_pallas_blend_matches_xla(rng, mode):
+@pytest.mark.parametrize("mode,max_rows", [
+    ("grid", None),
+    ("reference", None),
+    ("grid", 48),  # banded streaming builds prepadded band programs
+])
+def test_engine_pallas_blend_matches_xla(rng, mode, max_rows):
     """The engine with pallas_blend='interpret' must reproduce the XLA
-    quadrant-add blend for both index modes."""
+    quadrant-add blend for both index modes and under banded streaming."""
     from satellite_computervision_tpu.inference import TiledInferenceEngine
 
     scene = rng.normal(size=(70, 90, 3)).astype(np.float32)
     mean_model = lambda chips: chips.mean(axis=-1, keepdims=True)
     kwargs = dict(kernel=16, buffer=8, batch_size=4, out_channels=1,
-                  blend="hann", index_mode=mode)
+                  blend="hann", index_mode=mode, max_rows=max_rows)
     xla = TiledInferenceEngine(mean_model, **kwargs)
     pallas = TiledInferenceEngine(mean_model, pallas_blend="interpret", **kwargs)
     a = np.asarray(xla.predict_scene(scene))
