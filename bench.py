@@ -318,13 +318,29 @@ def profile_ops():
     floor = t(lambda s: s[0, 0, 0].astype(jnp.float32) * 2, staged)
     g = t(gather_only, staged)
     fwd = t(forward_only, chips_dev)
-    full = t(lambda s: engine.predict_scene(s)[0, 0, 0], staged)
+    # reduce the FULL output — a single-pixel probe lets XLA dead-code
+    # the chips that don't cover it (measured 0.5 ms: the whole scene
+    # program collapsed to nothing)
+    full = t(lambda s: engine.predict_scene(s).astype(jnp.float32).sum(), staged)
     print(f"readback floor:        {floor*1e3:7.1f} ms")
     print(f"preprocess+gather:     {(g - floor)*1e3:7.1f} ms ({n} chips of {side}^2)")
     print(f"model forward (batched): {(fwd - floor)*1e3:5.1f} ms "
           f"({len(corners)} chips, groups of {BATCH})")
     print(f"full engine program:   {(full - floor)*1e3:7.1f} ms "
-          f"(crop+stitch+uint8 = remainder)")
+          f"(gather+forward+crop+stitch+uint8)")
+
+    # whole-scene mode: no window overlap (the 256+128 chip grid
+    # recomputes every buffer region, a (384/256)^2 = 2.25x FLOP tax),
+    # no gather, no stitch — the device-resident fast path
+    whole = TiledInferenceEngine(
+        engine.predict_fn, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+        out_channels=1, tile_mode="whole",
+        preprocess_fn=engine.preprocess_fn,
+        output_transform=engine.output_transform,
+    )
+    w = t(lambda s: whole.predict_scene(s).astype(jnp.float32).sum(), staged)
+    print(f"whole-scene forward:   {(w - floor)*1e3:7.1f} ms "
+          f"({SCENE}^2 single conv pass, no tiling)")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,10 @@ class TiledInferenceEngine:
       no padding, margins stay zero.
     blend: ``"overwrite"`` (disjoint central windows — equivalent to the
     reference's ``+=`` on this grid) or ``"hann"`` (feathered overlap).
+    tile_mode: ``"chips"`` (reference-parity overlap-tile grid) or
+    ``"whole"`` (one fully-convolutional forward over the padded scene —
+    no window-overlap FLOPs, no gather/stitch, no tile effects; see
+    __init__ notes).
     """
 
     def __init__(
@@ -71,6 +75,8 @@ class TiledInferenceEngine:
         preprocess_fn: Optional[Callable] = None,
         output_transform: Optional[Callable] = None,
         pallas_blend=False,
+        tile_mode: str = "chips",
+        whole_multiple: int = 32,
     ):
         if blend not in ("overwrite", "sum", "hann"):
             raise ValueError(f"unknown blend mode {blend!r}")
@@ -107,6 +113,21 @@ class TiledInferenceEngine:
         if pallas_blend not in (False, True, "interpret"):
             raise ValueError(f"unknown pallas_blend {pallas_blend!r}")
         self.pallas_blend = pallas_blend
+        # tile_mode="whole": the model is fully convolutional, so run it
+        # over the WHOLE edge-padded scene in one forward — no window
+        # overlap (the chip grid recomputes every buffer region, a 2.25x
+        # FLOP tax at 256+128), no gather, no stitch, and no tile effects
+        # at all (every pixel sees full context, strictly more than any
+        # chip gives it). Not bit-equal to the reference's chipped loop —
+        # chips cap the receptive field at their borders — so the chip
+        # grid stays the parity default. ``whole_multiple`` must cover the
+        # model's total downsampling (2^levels).
+        if tile_mode not in ("chips", "whole"):
+            raise ValueError(f"unknown tile_mode {tile_mode!r}")
+        if tile_mode == "whole" and max_rows is not None:
+            raise ValueError("tile_mode='whole' does not support banded streaming")
+        self.tile_mode = tile_mode
+        self.whole_multiple = whole_multiple
         self._compiled = {}
         self._compiled_batch = {}
 
@@ -138,6 +159,29 @@ class TiledInferenceEngine:
             if pre.shape[:2] != (h, w):
                 raise ValueError("preprocess_fn must preserve spatial dims")
             c_in = pre.shape[-1]
+
+        if self.tile_mode == "whole":
+            mult = self.whole_multiple
+            pad_h = (-(h + buffer)) % mult
+            pad_w = (-(w + buffer)) % mult
+
+            pre_fn = self.preprocess_fn
+
+            def run_whole(scene):
+                if pre_fn is not None:
+                    scene = pre_fn(scene)
+                scene = scene.astype(jnp.float32)
+                padded = jnp.pad(
+                    scene,
+                    ((half, half + pad_h), (half, half + pad_w), (0, 0)),
+                    mode="edge",
+                )
+                pred = predict_fn(padded[None])[0].astype(jnp.float32)
+                return jax.lax.dynamic_slice(pred, (half, half, 0), (h, w, c_out))
+
+            if self.output_transform is None:
+                return run_whole
+            return lambda scene: self.output_transform(run_whole(scene))
 
         if prepadded:
             rows = (h - buffer) // kernel

@@ -53,6 +53,35 @@ def test_engine_cover_mode_full_interior(rng):
     np.testing.assert_allclose(got[half:-half, half:-half], want[half:-half, half:-half], rtol=1e-5)
 
 
+def test_engine_whole_scene_mode(rng):
+    """tile_mode='whole' runs the model over the whole padded scene: for a
+    per-pixel model it equals the scene exactly (any shape, incl. ones not
+    divisible by whole_multiple); preprocess/output_transform still fuse."""
+    scene = rng.normal(size=(70, 91, 3)).astype(np.float32)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=32, buffer=16, batch_size=4, out_channels=1,
+        tile_mode="whole", whole_multiple=8,
+        preprocess_fn=lambda s: s * 2.0,
+        output_transform=lambda p: p + 1.0,
+    )
+    got = np.asarray(engine.predict_scene(scene))
+    assert got.shape == (70, 91, 1)
+    np.testing.assert_allclose(
+        got, scene.mean(-1, keepdims=True) * 2.0 + 1.0, rtol=1e-5, atol=1e-5
+    )
+    # batch form vmaps the same program
+    stack = np.stack([scene, scene * 0.5])
+    got2 = np.asarray(engine.predict_scene_batch(stack))
+    np.testing.assert_allclose(got2[0], got, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_whole_scene_rejects_banding():
+    with pytest.raises(ValueError, match="banded"):
+        TiledInferenceEngine(
+            _mean_model, kernel=32, buffer=16, tile_mode="whole", max_rows=64
+        )
+
+
 def test_engine_hann_blend_identity(rng):
     scene = rng.normal(size=(320, 320, 1)).astype(np.float32)
     k, b = 64, 32
