@@ -36,6 +36,7 @@ def make_spatial_inference(
     buffer: int = 128,
     out_channels: int = 1,
     batch_size: int = 16,
+    tile_mode: str = "chips",
 ):
     """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
 
@@ -43,7 +44,16 @@ def make_spatial_inference(
     The returned function accepts any (H, W, C) scene; it is edge-padded
     so each device's band is a multiple of ``kernel`` rows, and the
     prediction is cropped back to (H, W, out_channels).
+
+    ``tile_mode="whole"``: each device runs ONE fully-convolutional
+    forward over its haloed row band instead of the local chip grid —
+    the multi-device form of TiledInferenceEngine(tile_mode="whole"):
+    no window-overlap FLOPs, no gather/stitch, seams only possible at
+    band boundaries where the halo (buffer/2 rows) caps the receptive
+    field — exactly the context a chip would have had.
     """
+    if tile_mode not in ("chips", "whole"):
+        raise ValueError(f"unknown tile_mode {tile_mode!r}")
     n_dev = mesh.shape[axis]
     side = kernel + buffer
     half = buffer // 2
@@ -52,6 +62,9 @@ def make_spatial_inference(
     def local_band_predict(band, cols):
         """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
         hl = band.shape[0] - buffer
+        if tile_mode == "whole":
+            pred = predict_fn(band[None])[0].astype(jnp.float32)
+            return pred[half : half + hl, half : half + cols * kernel]
         rows = hl // kernel
         n = rows * cols
         corners = np.asarray(

@@ -36,6 +36,56 @@ def test_spatial_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_spatial_whole_band_matches_engine_whole(rng):
+    """tile_mode='whole' on the mesh: each device one fully-conv forward
+    over its haloed band; for a pointwise model it equals the
+    single-device whole-scene engine exactly."""
+    mesh = make_mesh([("data", 8)])
+    k, b = 32, 16
+    scene = rng.normal(size=(8 * 2 * k, 3 * k + 7, 3)).astype(np.float32)
+
+    spatial = make_spatial_inference(
+        _mean_model, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole"
+    )
+    got = np.asarray(spatial(scene))
+
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=k, buffer=b, out_channels=1,
+        tile_mode="whole", whole_multiple=8,
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    assert got.shape == want.shape == scene.shape[:2] + (1,)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_whole_band_halo_continuity(rng):
+    """Whole-band forwards with a spatial-support model: band boundaries
+    must be seamless (halos supply the conv context across devices)."""
+    mesh = make_mesh([("data", 4)], devices=jax.devices()[:4])
+    k, b = 32, 16
+
+    def avg3(x):
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    out = out + jnp.roll(x, (dy, dx), axis=(1, 2))
+        return out[..., :1] / 9.0
+
+    scene = rng.normal(size=(4 * k, 2 * k, 2)).astype(np.float32)
+    spatial = make_spatial_inference(
+        avg3, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole"
+    )
+    got = np.asarray(spatial(scene))
+    engine = TiledInferenceEngine(
+        avg3, kernel=k, buffer=b, out_channels=1, tile_mode="whole", whole_multiple=8
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    # interior rows see identical context (roll wraps differ only at the
+    # global scene edge, which the engine pads identically)
+    np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1], rtol=1e-4, atol=1e-5)
+
+
 def test_spatial_halo_continuity(rng):
     """A model with spatial support (local averaging) must produce smooth
     results across device-band boundaries — halos really flow over the
