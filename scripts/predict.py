@@ -78,6 +78,9 @@ def main(argv=None):
     ap.add_argument("--base", default="pred", help="patches mode: output basename")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--blend", choices=["overwrite", "hann"], default="hann")
+    ap.add_argument("--tile-mode", choices=["chips", "whole"], default="chips",
+                    help="whole = one fully-convolutional forward over the "
+                    "padded scene (no tile seams; scene must fit in HBM)")
     ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
     ap.add_argument("--crs", default="")
     ap.add_argument("--transform", type=float, nargs=6,
@@ -108,6 +111,7 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict_pair, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
             batch_size=args.batch_size, out_channels=1, blend=args.blend,
+            tile_mode=args.tile_mode,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(stack))
@@ -127,7 +131,7 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
             batch_size=args.batch_size, out_channels=cfg.num_classes,
-            blend=args.blend,
+            blend=args.blend, tile_mode=args.tile_mode,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(scene))

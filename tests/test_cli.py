@@ -88,6 +88,17 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     assert pred.shape == (160, 160, 1)
     assert "32617" in meta["crs"]
 
+    # whole-scene production mode through the same CLI
+    out_whole = str(tmp_path / "pred_whole.tif")
+    predict_cli.main([
+        "scene", "--input", str(scene_path), "--ckpt", ckpt,
+        "--config", "solar", "--output", out_whole, "--tile-mode", "whole",
+        "--crs", "EPSG:32617", "--transform", "10", "0", "0", "0", "-10", "0",
+    ])
+    pred_w, _ = read_geotiff(out_whole)
+    assert pred_w.shape == (160, 160, 1)
+    assert np.isfinite(pred_w).all()
+
 
 def test_predict_patches_cli(tmp_path, monkeypatch):
     import dataclasses
