@@ -124,8 +124,6 @@ class TiledInferenceEngine:
         # model's total downsampling (2^levels).
         if tile_mode not in ("chips", "whole"):
             raise ValueError(f"unknown tile_mode {tile_mode!r}")
-        if tile_mode == "whole" and max_rows is not None:
-            raise ValueError("tile_mode='whole' does not support banded streaming")
         self.tile_mode = tile_mode
         self.whole_multiple = whole_multiple
         self._compiled = {}
@@ -162,10 +160,37 @@ class TiledInferenceEngine:
 
         if self.tile_mode == "whole":
             mult = self.whole_multiple
+            pre_fn = self.preprocess_fn
+
+            if prepadded:
+                # banded streaming: the band already carries real
+                # buffer/2-row context on every side (the same context a
+                # chip would have had); just run the conv and crop the
+                # central grid the banded stitcher expects.
+                rows = (h - buffer) // kernel
+                cols = (w - buffer) // kernel
+                if h % mult or w % mult:
+                    raise ValueError(
+                        f"whole-mode bands of {h}x{w} are not multiples of "
+                        f"whole_multiple={mult}; pick kernel/buffer/max_rows "
+                        f"that are"
+                    )
+
+                def run_band(band):
+                    if pre_fn is not None:
+                        band = pre_fn(band)
+                    band = band.astype(jnp.float32)
+                    pred = predict_fn(band[None])[0].astype(jnp.float32)
+                    return jax.lax.dynamic_slice(
+                        pred, (half, half, 0), (rows * kernel, cols * kernel, c_out)
+                    )
+
+                if self.output_transform is None:
+                    return run_band
+                return lambda band: self.output_transform(run_band(band))
+
             pad_h = (-(h + buffer)) % mult
             pad_w = (-(w + buffer)) % mult
-
-            pre_fn = self.preprocess_fn
 
             def run_whole(scene):
                 if pre_fn is not None:

@@ -75,11 +75,29 @@ def test_engine_whole_scene_mode(rng):
     np.testing.assert_allclose(got2[0], got, rtol=1e-5, atol=1e-5)
 
 
-def test_engine_whole_scene_rejects_banding():
-    with pytest.raises(ValueError, match="banded"):
-        TiledInferenceEngine(
-            _mean_model, kernel=32, buffer=16, tile_mode="whole", max_rows=64
-        )
+def test_engine_whole_scene_banded_matches_whole(rng):
+    """Banded whole-scene streaming (scenes > HBM without chips): bands
+    carry real buffer/2 context, so any model whose receptive field fits
+    the halo matches the unbanded whole-scene pass exactly."""
+    import jax.numpy as jnp
+
+    def avg3(x):
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    out = out + jnp.roll(x, (dy, dx), axis=(1, 2))
+        return out[..., :1] / 9.0
+
+    scene = rng.normal(size=(250, 100, 2)).astype(np.float32)
+    kwargs = dict(kernel=32, buffer=16, out_channels=1,
+                  tile_mode="whole", whole_multiple=8)
+    whole = TiledInferenceEngine(avg3, **kwargs)
+    banded = TiledInferenceEngine(avg3, max_rows=96, **kwargs)
+    a = np.asarray(whole.predict_scene(scene))
+    b = np.asarray(banded.predict_scene(scene))
+    # interior exact; global edges differ only where roll wraps vs pad
+    np.testing.assert_allclose(a[1:-1, 1:-1], b[1:-1, 1:-1], rtol=1e-5, atol=1e-6)
 
 
 def test_engine_hann_blend_identity(rng):
