@@ -131,6 +131,31 @@ def test_data_parallel_step_matches_single_device(rng):
     )
 
 
+def test_orbax_roundtrip_mesh_sharded_state(tmp_path, rng):
+    """Mesh-sharded TrainState through the orbax backend: values AND
+    shardings survive the save/restore (the multi-host checkpoint story —
+    msgpack would gather to host; orbax restores shard-per-device)."""
+    pytest.importorskip("orbax.checkpoint")
+    from satellite_computervision_tpu.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh([("data", 8)])
+    _, state = _toy_model_and_state()
+    state = shard_train_state(state, mesh)
+    mgr = CheckpointManager(str(tmp_path / "run"), backend="orbax")
+    mgr.save(state, step=5, metrics={"mean_iou": 0.5})
+
+    _, blank = _toy_model_and_state(seed=1)
+    blank = shard_train_state(blank, mesh)
+    restored, meta = mgr.restore(blank, "best")
+    assert meta["step"] == 5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert b.sharding.mesh.shape == mesh.shape
+
+
 def test_checkpoint_manager_orbax_roundtrip(tmp_path, rng):
     """The orbax backend (sharded-state capable; VERDICT r1 #10) saves and
     restores a TrainState with identical leaves, including best_metrics."""
