@@ -86,9 +86,12 @@ def save_checkpoint_orbax(path: str, state, metrics=None, step: Optional[int] = 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), payload, force=True)
     ckptr.wait_until_finished()
-    meta = {"step": int(step if step is not None else 0), "metrics": metrics or {}}
-    with open(os.path.join(path, "scv_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # every process participates in the orbax save (each writes its own
+    # shards), but the sidecar metadata is single-writer
+    if jax.process_index() == 0:
+        meta = {"step": int(step if step is not None else 0), "metrics": metrics or {}}
+        with open(os.path.join(path, "scv_meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_checkpoint_orbax(path: str, target):

@@ -126,6 +126,10 @@ def main(argv=None):
     ap.add_argument("--steps-per-epoch", type=int)
     ap.add_argument("--lr", type=float)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--stage-f16", action="store_true",
+                    help="stage TFRecord batches host->device as float16 "
+                    "(half the H2D bytes; preprocess casts back to f32 on "
+                    "device)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--bn-momentum", type=float, default=0.9,
                     help="BatchNorm running-stat momentum; the Keras-parity "
@@ -177,6 +181,7 @@ def main(argv=None):
             train_files, bands + [cfg.response], kernel_size=cfg.kernel_size,
             batch_size=batch, shuffle_buffer=min(cfg.shuffle_buffer, 2048),
             seed=args.seed,
+            stage_dtype="float16" if args.stage_f16 else None,
         )
         response_depth = cfg.num_classes if cfg.num_classes > 1 else None
         preprocess = make_preprocess_fn(

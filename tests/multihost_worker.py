@@ -74,6 +74,24 @@ def main():
     for i in range(2):
         state, out = step_fn(state, batch, jax.random.key(i))
         losses_out.append(float(out["loss"]))
+
+    # cross-process sharded checkpoint: all processes participate in one
+    # orbax save (each writes its shards), then restore and verify a leaf
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
+    if ckpt_dir:
+        from satellite_computervision_tpu.train.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        save_checkpoint_orbax(ckpt_dir, state, {"loss": losses_out[-1]}, step=2)
+        restored, meta = load_checkpoint_orbax(ckpt_dir, state)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        rleaf = jax.tree_util.tree_leaves(restored.params)[0]
+        assert meta["step"] == 2, meta
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(rleaf))
+        print("CKPT_OK", flush=True)
+
     print("RESULT " + json.dumps(losses_out), flush=True)
 
 

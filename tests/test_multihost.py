@@ -65,7 +65,7 @@ def _single_process_losses():
     return out_losses
 
 
-def test_two_process_bootstrap_matches_single_process():
+def test_two_process_bootstrap_matches_single_process(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -73,9 +73,15 @@ def test_two_process_bootstrap_matches_single_process():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
+    try:
+        import orbax.checkpoint  # noqa: F401
+        ckpt_args = [str(tmp_path / "ckpt")]
+    except ImportError:  # pragma: no cover
+        ckpt_args = []
+
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(p)],
+            [sys.executable, WORKER, str(port), str(p)] + ckpt_args,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -102,6 +108,8 @@ def test_two_process_bootstrap_matches_single_process():
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in worker output:\n{out}"
         losses.append(json.loads(lines[-1][len("RESULT "):]))
+        if ckpt_args:  # cross-process orbax roundtrip ran in every worker
+            assert "CKPT_OK" in out, f"sharded checkpoint failed:\n{out}"
 
     # both processes observe the same replicated loss trajectory
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
