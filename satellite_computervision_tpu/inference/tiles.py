@@ -483,12 +483,15 @@ class TiledInferenceEngine:
         band_rows = (self.max_rows - buffer) // kernel
         if band_rows <= 0:
             raise ValueError("max_rows too small for kernel+buffer")
-        halo = 1 if self.blend == "hann" else 0
+        whole = self.tile_mode == "whole"
+        halo = 1 if (self.blend == "hann" and not whole) else 0
         step = max(1, band_rows - 2 * halo)
         out = np.zeros((h, w, self.out_channels), np.float32)
         scene = np.asarray(scene)
 
-        if self.index_mode == "grid":
+        # whole mode predicts every pixel regardless of index_mode, so its
+        # bands always use the full-cover grid geometry
+        if self.index_mode == "grid" or whole:
             rows_total = -(-h // kernel)
             cols = -(-w // kernel)
             pad_right = cols * kernel + half - w
