@@ -160,6 +160,9 @@ def main(argv=None):
     ap.add_argument("--space-to-depth", action="store_true")
     ap.add_argument("--out", default="runs/solar_convergence.jsonl")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene-eval", action="store_true",
+                    help="after training, score full-scene inference modes "
+                    "(chips / hann / whole) on a 4x4-chip eval scene")
     args = ap.parse_args(argv)
 
     model = UNet(
@@ -217,6 +220,41 @@ def main(argv=None):
             best = {**m, "epoch": epoch}
         print(json.dumps(rec))
         log.write(json.dumps(rec) + "\n")
+        log.flush()
+
+    if args.scene_eval:
+        # full-scene inference quality on the trained model: the three
+        # engine modes over one 1024^2 scene tiled from unseen eval chips
+        from satellite_computervision_tpu.inference import TiledInferenceEngine
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        predict = lambda chips: model.apply(variables, chips)["probs"]
+        g = 4
+        pairs = [make_chip("scene", i) for i in range(g * g)]
+        scene = np.concatenate(
+            [np.concatenate([pairs[r * g + c][0] for c in range(g)], 1) for r in range(g)], 0
+        )
+        labels = np.concatenate(
+            [np.concatenate([pairs[r * g + c][1] for c in range(g)], 1) for r in range(g)], 0
+        )[..., 0].astype(bool)
+
+        scene_iou = {}
+        for mode, kw in [
+            ("chips", dict(blend="overwrite", index_mode="grid")),
+            ("hann", dict(blend="hann", index_mode="grid")),
+            ("whole", dict(tile_mode="whole")),
+        ]:
+            eng = TiledInferenceEngine(
+                predict, kernel=K, buffer=128, batch_size=8, out_channels=1, **kw
+            )
+            prob = np.asarray(eng.predict_scene(jnp.asarray(scene)))[..., 0]
+            pred = prob >= args.threshold
+            tp = int((pred & labels).sum())
+            fp = int((pred & ~labels).sum())
+            fn = int((~pred & labels).sum())
+            scene_iou[mode] = round(tp / max(tp + fp + fn, 1), 4)
+        print("SCENE_EVAL " + json.dumps(scene_iou))
+        log.write(json.dumps({"scene_eval_iou": scene_iou}) + "\n")
         log.flush()
 
     summary = {"final": {k: round(float(v), 4) for k, v in best.items()},
