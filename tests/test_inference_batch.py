@@ -85,20 +85,21 @@ def test_engine_shape_fuzz(rng):
         w = int(rng.integers(k + b + 1, 150))
         c = int(rng.integers(1, 4))
         blend = str(rng.choice(["overwrite", "hann"]))
+        tile_mode = str(rng.choice(["chips", "whole"]))
         scene = rng.normal(size=(h, w, c)).astype(np.float32)
         eng = TiledInferenceEngine(
             _mean_model, kernel=k, buffer=b, batch_size=3,
-            out_channels=1, blend=blend,
+            out_channels=1, blend=blend, tile_mode=tile_mode, whole_multiple=8,
         )
         out = np.asarray(eng.predict_scene(scene))
-        assert out.shape == (h, w, 1), (trial, k, b, h, w, blend)
+        assert out.shape == (h, w, 1), (trial, k, b, h, w, blend, tile_mode)
         half = b // 2
         want = scene.mean(-1, keepdims=True)
         np.testing.assert_allclose(
             out[half:-half, half:-half],
             want[half:-half, half:-half],
             rtol=1e-3, atol=1e-4,
-            err_msg=f"trial {trial}: k={k} b={b} h={h} w={w} {blend}",
+            err_msg=f"trial {trial}: k={k} b={b} h={h} w={w} {blend} {tile_mode}",
         )
 
 
