@@ -185,21 +185,26 @@ def predict_scene(
     buffer: int = 128,
     batch_size: int = 16,
     mesh=None,
+    **engine_kwargs,
 ):
     """Full-scene inference from an in-memory composite — the run_local /
     run_dask replacement (utils/pc_tools.py:620-729): device-resident
     tiled engine, optionally sharded over a mesh instead of Dask workers.
+    Extra keyword arguments pass through to the engine (e.g.
+    ``blend="hann"`` or ``tile_mode="whole"`` single-device).
     """
     from satellite_computervision_tpu.inference import TiledInferenceEngine
     from satellite_computervision_tpu.parallel import ShardedTiledInference
 
     if mesh is not None:
         engine = ShardedTiledInference(
-            predict_fn, mesh, kernel=kernel, buffer=buffer, batch_size=batch_size
+            predict_fn, mesh, kernel=kernel, buffer=buffer, batch_size=batch_size,
+            **engine_kwargs,
         )
     else:
         engine = TiledInferenceEngine(
-            predict_fn, kernel=kernel, buffer=buffer, batch_size=batch_size
+            predict_fn, kernel=kernel, buffer=buffer, batch_size=batch_size,
+            **engine_kwargs,
         )
     return engine.predict_scene(scene)
 
