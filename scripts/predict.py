@@ -81,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--tile-mode", choices=["chips", "whole"], default="chips",
                     help="whole = one fully-convolutional forward over the "
                     "padded scene (no tile seams; scene must fit in HBM)")
+    ap.add_argument("--max-rows", type=int, default=None,
+                    help="stream scenes taller than this in full-width bands "
+                    "(bounds device memory; works with both tile modes)")
     ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
     ap.add_argument("--crs", default="")
     ap.add_argument("--transform", type=float, nargs=6,
@@ -131,7 +134,7 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
             batch_size=args.batch_size, out_channels=cfg.num_classes,
-            blend=args.blend, tile_mode=args.tile_mode,
+            blend=args.blend, tile_mode=args.tile_mode, max_rows=args.max_rows,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(scene))
