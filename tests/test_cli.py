@@ -99,6 +99,21 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     assert pred_w.shape == (160, 160, 1)
     assert np.isfinite(pred_w).all()
 
+    # standalone evaluation CLI on the same checkpoint
+    import evaluate as evaluate_cli
+
+    monkeypatch.setitem(evaluate_cli.CONFIGS, "solar", small)
+    report_path = str(tmp_path / "report.json")
+    evaluate_cli.main([
+        "--config", "solar", "--ckpt", ckpt, "--eval", str(chips),
+        "--batch-size", "4", "--out", report_path,
+        "--class-names", "background", "solar",
+    ])
+    report = json.loads(open(report_path).read())
+    assert set(report["per_class"]) == {"background", "solar"}
+    counts = np.asarray(report["counts"])
+    assert counts.shape == (2, 2) and counts.sum() == 12 * 64 * 64
+
 
 def test_predict_patches_cli(tmp_path, monkeypatch):
     import dataclasses
