@@ -240,6 +240,95 @@ def test_tf_exact_forward_parity(tmp_path, rng):
 
 
 @pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_multiclass_exact_forward_parity(tmp_path, rng):
+    """Same as the binary parity test but for the multiclass softmax
+    family (get_unet_model, utils/model_tools.py:394-415): the head is an
+    n-class 1x1 softmax conv; importer must map it identically."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import tensorflow as tf  # noqa: F401
+    from tensorflow.keras import layers, models
+
+    class conv_batch_act(layers.Layer):
+        def __init__(self, nf, **kw):
+            super().__init__(**kw)
+            self.conv_layer = layers.Conv2D(nf, (3, 3), padding="same")
+            self.bn_layer = layers.BatchNormalization()
+            self.act = layers.Activation("relu")
+
+        def call(self, x):
+            return self.act(self.bn_layer(self.conv_layer(x)))
+
+    class conv_block(layers.Layer):
+        def __init__(self, nf, name="conv_block", **kw):
+            super().__init__(name=name, **kw)
+            self.cba1 = conv_batch_act(nf)
+            self.cba2 = conv_batch_act(nf)
+
+        def call(self, x):
+            y = self.cba1(x)
+            y = self.cba1(x)
+            return y
+
+    class encoder_block(layers.Layer):
+        def __init__(self, nf, name="encoder_block", **kw):
+            super().__init__(name=name, **kw)
+            self.encoder = conv_block(nf)
+            self.pooler = layers.MaxPooling2D((2, 2), strides=(2, 2))
+
+        def call(self, x):
+            e = self.encoder(x)
+            return self.pooler(e), e
+
+    def decoder_block(x, concat, nf):
+        d = layers.Conv2DTranspose(nf, (2, 2), strides=(2, 2), padding="same")(x)
+        d = layers.concatenate([concat, d], axis=-1)
+        d = layers.BatchNormalization()(d)
+        d = layers.Activation("relu")(d)
+        for _ in range(2):
+            d = layers.Conv2D(nf, (3, 3), padding="same")(d)
+            d = layers.BatchNormalization()(d)
+            d = layers.Activation("relu")(d)
+        return d
+
+    bands, f0, f1, n_classes = 3, 4, 8, 5
+    inputs = layers.Input(shape=[None, None, bands])
+    p0, e0 = encoder_block(f0, name="encoder_0")(inputs)
+    p1, e1 = encoder_block(f1, name="encoder_1")(p0)
+    center = conv_block(f1 * 2)(p1)
+    d1 = decoder_block(center, e1, f1)
+    d0 = decoder_block(d1, e0, f0)
+    probs = layers.Conv2D(n_classes, (1, 1), activation="softmax", name="probs")(d0)
+    m = models.Model(inputs=inputs, outputs=[probs])
+
+    g = np.random.default_rng(11)
+    for v in m.weights:
+        shape = v.shape.as_list()
+        if "moving_variance" in v.name or "gamma" in v.name:
+            v.assign(g.uniform(0.5, 1.5, shape).astype(np.float32))
+        else:
+            v.assign((g.normal(size=shape) * 0.2).astype(np.float32))
+
+    path = str(tmp_path / "ref_mc.h5")
+    m.save(path)
+
+    x = (rng.normal(size=(2, 32, 32, bands)) * 0.5).astype(np.float32)
+    want = m.predict(x, verbose=0)
+
+    model = UNet(
+        n_classes=n_classes, filters=(f0, f1), factors=(2, 2), head="softmax",
+        convs_per_block=1,
+    )
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    params, stats = load_keras_unet_h5(
+        path, variables["params"], variables["batch_stats"]
+    )
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))["probs"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
 def test_tf_siamese_exact_forward_parity(tmp_path, rng):
     """Reference Siamese U-Net (shared encoders + shared ASPP,
     utils/model_tools.py:576-663, with the conv_block double-call bug) in
