@@ -154,10 +154,38 @@ LANDCOVER_CONFIG = TrainConfig(
     n_time=6,
 )
 
+# Wetland mapping (README capability; the reference's azure/
+# train_wetland.py driver is absent from its snapshot —
+# .spyproject/workspace.ini:9 references it). Reconstructed from the data
+# the reference's pipeline assembles for it: S1+S2 timeseries through the
+# ConvLSTM branch and DEM/HAG/SSURGO terrain-soil planes through the
+# U-Net branch of the hybrid model (UNETDataGenerator sources,
+# utils/processing.py:601-650; get_hag/get_ssurgo_stac,
+# utils/pc_tools.py:224-262, :496-562), binary wetland response.
+WETLAND_CONFIG = TrainConfig(
+    name="wetland",
+    bands=("VV", "VH", "B02", "B03", "B04", "B08"),
+    response="wetland",
+    kernel_size=256,
+    kernel_buffer=128,
+    batch_size=8,
+    epochs=30,
+    learning_rate=9e-4,
+    train_size=4000,
+    eval_size=1000,
+    shuffle_buffer=4000,
+    loss="weighted_categorical_crossentropy",
+    num_classes=2,  # not-wetland / wetland via the hybrid's softmax head
+    threshold=0.5,
+    family="hybrid",
+    n_time=6,
+)
+
 CONFIGS = {
     "solar": SOLAR_CONFIG,
     "parking": PARKING_CONFIG,
     "change": CHANGE_CONFIG,
     "timeseries": TIMESERIES_CONFIG,
     "landcover": LANDCOVER_CONFIG,
+    "wetland": WETLAND_CONFIG,
 }

@@ -127,6 +127,46 @@ def test_cli_trains_hierarchical_on_npy_chips(tmp_path, monkeypatch):
     assert (tmp_path / "run" / "best" / "state.msgpack").exists()
 
 
+def test_cli_trains_wetland_hybrid(tmp_path, monkeypatch):
+    """The wetland workload (reference capability; its azure/
+    train_wetland.py driver is absent from the snapshot): hybrid model,
+    S1+S2 series + terrain planes, binary via 2-class softmax."""
+    import train as train_cli
+
+    from satellite_computervision_tpu import testing as fx
+    from satellite_computervision_tpu.train.config import WETLAND_CONFIG
+    from satellite_computervision_tpu.train import zoo
+
+    # naip here: an unmasked source whose channel count matches the init
+    # example (masked sources like dem append a NaN-mask channel)
+    fx.make_npy_chip_tree(
+        str(tmp_path / "chips"), sources={"naip": (6, 255.0)},
+        n_chips=4, dim=32, n_classes=2,
+    )
+    fx.make_series_chips(str(tmp_path / "series"), n_chips=4, n_time=6,
+                         channels=6, dim=16)
+    small = dataclasses.replace(WETLAND_CONFIG, kernel_size=32, batch_size=2)
+    monkeypatch.setitem(train_cli.CONFIGS, "wetland", small)
+    orig = zoo.FAMILIES["hybrid"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "hybrid",
+        dataclasses.replace(
+            orig, build=lambda cfg, **kw: orig.build(cfg, **{**TINY["hybrid"], **kw})
+        ),
+    )
+
+    ckpt = str(tmp_path / "run")
+    train_cli.main([
+        "--config", "wetland",
+        "--unet-source", f"naip={tmp_path}/chips/naip/*.npy",
+        "--series", str(tmp_path / "series/*.npy"),
+        "--series-dim", "16",
+        "--labels", str(tmp_path / "chips/label/*.npy"),
+        "--ckpt", ckpt, "--epochs", "1", "--steps-per-epoch", "2",
+    ])
+    assert (tmp_path / "run" / "best" / "state.msgpack").exists()
+
+
 def test_cli_trains_convlstm_on_series(tmp_path, monkeypatch):
     import train as train_cli
 
