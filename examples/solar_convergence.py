@@ -70,8 +70,14 @@ def _smooth_field(rng, k, scale=16):
 
 
 def make_chip(split: str, index: int):
-    """Deterministic (features (K,K,6) refl, label (K,K,1)) for an index."""
-    seed = (hash(split) & 0xFFFF) * 1_000_003 + index
+    """Deterministic (features (K,K,6) refl, label (K,K,1)) for an index.
+
+    The split hash must be process-stable (str hash is salted per
+    interpreter, which would give every run a different dataset), so use
+    crc32."""
+    import zlib
+
+    seed = (zlib.crc32(split.encode()) & 0xFFFF) * 1_000_003 + index
     rng = np.random.default_rng(seed)
 
     veg_frac = 0.5 + 0.5 * _smooth_field(rng, K)  # spatially correlated mix

@@ -197,6 +197,13 @@ def predict_scene(
     from satellite_computervision_tpu.parallel import ShardedTiledInference
 
     if mesh is not None:
+        if engine_kwargs.get("tile_mode") == "whole":
+            raise ValueError(
+                "tile_mode='whole' shards per-chip batches of 1 and cannot "
+                "run under ShardedTiledInference; use "
+                "parallel.spatial.make_spatial_inference(tile_mode='whole') "
+                "for multi-device whole-band inference"
+            )
         engine = ShardedTiledInference(
             predict_fn, mesh, kernel=kernel, buffer=buffer, batch_size=batch_size,
             **engine_kwargs,

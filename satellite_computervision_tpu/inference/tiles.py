@@ -37,8 +37,11 @@ import jax.numpy as jnp
 
 
 def _hann_window(side: int, dtype=jnp.float32):
-    n = jnp.arange(side, dtype=dtype)
-    w1 = jnp.sqrt(jnp.clip(0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (n + 0.5) / side), 1e-4))
+    # 1-D profile shared with the blend normalizer (pallas.stitch divides
+    # this exact window back out — do not fork the formula)
+    from satellite_computervision_tpu.pallas.stitch import hann_window_1d
+
+    w1 = jnp.asarray(hann_window_1d(side), dtype)
     return w1[:, None] * w1[None, :]
 
 

@@ -36,16 +36,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def hann_window_1d(side: int) -> np.ndarray:
+    """The engine's 1-D hann edge profile (float32, clipped away from 0).
+
+    Single source of truth: the 2-D chip weight is the outer product of
+    this (inference/tiles.py multiplies it in) and the blend normalizer
+    below divides it back out — both must come from here or hann output
+    is silently mis-scaled."""
+    n1 = np.arange(side, dtype=np.float32)
+    return np.sqrt(
+        np.clip(0.5 - 0.5 * np.cos(2.0 * np.pi * (n1 + 0.5) / side), 1e-4, None)
+    ).astype(np.float32)
+
+
 def hann_inverse_weights(rows: int, cols: int, kernel: int, side: int) -> np.ndarray:
     """Constant 1/sum-of-hann-weights canvas ((rows+1)*k, (cols+1)*k).
 
     Separable: every chip window is the same ``w1 (x) w1`` outer product
     placed on the stride-``kernel`` grid, so the weight sum factorizes
     into per-axis sums."""
-    n1 = np.arange(side, dtype=np.float32)
-    w1 = np.sqrt(
-        np.clip(0.5 - 0.5 * np.cos(2.0 * np.pi * (n1 + 0.5) / side), 1e-4, None)
-    )
+    w1 = hann_window_1d(side)
     wy = np.zeros((rows + 1) * kernel, np.float32)
     for r in range(rows):
         wy[r * kernel : r * kernel + side] += w1

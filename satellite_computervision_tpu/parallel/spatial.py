@@ -37,6 +37,7 @@ def make_spatial_inference(
     out_channels: int = 1,
     batch_size: int = 16,
     tile_mode: str = "chips",
+    whole_multiple: int = 32,
 ):
     """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
 
@@ -63,6 +64,16 @@ def make_spatial_inference(
         """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
         hl = band.shape[0] - buffer
         if tile_mode == "whole":
+            # the fully-conv model needs band dims divisible by its total
+            # downsampling — fail with guidance, not a deep reshape error
+            bad = [d for d in band.shape[:2] if d % whole_multiple]
+            if bad:
+                raise ValueError(
+                    f"whole-band shape {band.shape[:2]} is not a multiple of "
+                    f"whole_multiple={whole_multiple}; pick kernel/buffer "
+                    f"(and scene width) that are, or set whole_multiple to "
+                    f"the model's downsampling factor"
+                )
             pred = predict_fn(band[None])[0].astype(jnp.float32)
             return pred[half : half + hl, half : half + cols * kernel]
         rows = hl // kernel

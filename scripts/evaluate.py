@@ -33,7 +33,10 @@ def main(argv=None):
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
     ap.add_argument("--config", choices=sorted(CONFIGS), default="solar")
-    ap.add_argument("--model", default="unet", help="unet / deeplab / zoo family")
+    ap.add_argument("--model", default="unet", choices=["unet", "deeplab", "acnn"],
+                    help="single-input TFRecord families only (multi-input "
+                    "families need npy-chip plumbing; evaluate those via "
+                    "the Trainer's eval loop)")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--eval", required=True, help="glob of eval TFRecords")
     ap.add_argument("--batch-size", type=int, default=16)

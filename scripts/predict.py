@@ -114,7 +114,7 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict_pair, kernel=cfg.kernel_size, buffer=cfg.kernel_buffer,
             batch_size=args.batch_size, out_channels=1, blend=args.blend,
-            tile_mode=args.tile_mode,
+            tile_mode=args.tile_mode, max_rows=args.max_rows,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(stack))

@@ -45,7 +45,8 @@ def test_spatial_whole_band_matches_engine_whole(rng):
     scene = rng.normal(size=(8 * 2 * k, 3 * k + 7, 3)).astype(np.float32)
 
     spatial = make_spatial_inference(
-        _mean_model, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole"
+        _mean_model, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole",
+        whole_multiple=8,
     )
     got = np.asarray(spatial(scene))
 
@@ -74,7 +75,8 @@ def test_spatial_whole_band_halo_continuity(rng):
 
     scene = rng.normal(size=(4 * k, 2 * k, 2)).astype(np.float32)
     spatial = make_spatial_inference(
-        avg3, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole"
+        avg3, mesh, axis="data", kernel=k, buffer=b, tile_mode="whole",
+        whole_multiple=8,
     )
     got = np.asarray(spatial(scene))
     engine = TiledInferenceEngine(
