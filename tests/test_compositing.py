@@ -136,3 +136,20 @@ def test_composite_feeds_predict_scene(rng):
     )
     assert pred.shape == (h, w, 1)
     assert np.isfinite(pred).all()
+
+    # engine options pass through; whole-scene fast path single-device
+    pred_w = np.asarray(
+        predict_scene(scene, lambda c: c.mean(-1, keepdims=True), kernel=32,
+                      buffer=16, tile_mode="whole", whole_multiple=8)
+    )
+    np.testing.assert_allclose(pred_w, scene.mean(-1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+
+    # whole mode under a mesh is a guided error, not an opaque shard failure
+    import jax
+    from satellite_computervision_tpu.parallel import make_mesh
+
+    mesh = make_mesh([("data", 8)], devices=jax.devices())
+    with pytest.raises(ValueError, match="whole-band"):
+        predict_scene(scene, lambda c: c.mean(-1, keepdims=True), kernel=32,
+                      buffer=16, mesh=mesh, tile_mode="whole")
