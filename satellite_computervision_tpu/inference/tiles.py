@@ -489,8 +489,14 @@ class TiledInferenceEngine:
         whole = self.tile_mode == "whole"
         halo = 1 if (self.blend == "hann" and not whole) else 0
         step = max(1, band_rows - 2 * halo)
-        out = np.zeros((h, w, self.out_channels), np.float32)
         scene = np.asarray(scene)
+
+        # build the band jobs, then run them through a 2-stage pipeline:
+        # a staging thread slices/pads band N+1 and ships it to the device
+        # while band N computes and reads back — steady state is
+        # max(transfer, compute) per band, not their sum (the same pattern
+        # as predict_scenes, intra-scene).
+        jobs = []  # (band_arr fn, place fn(out, piece))
 
         # whole mode predicts every pixel regardless of index_mode, so its
         # bands always use the full-cover grid geometry
@@ -509,15 +515,21 @@ class TiledInferenceEngine:
                 src_hi = min(h, ry + n_rows * kernel + half)
                 top = half - (ry - src_lo)
                 bottom = (ry + n_rows * kernel + half) - src_hi
-                band_arr = np.pad(
-                    scene[src_lo:src_hi],
-                    ((top, bottom), (half, pad_right), (0, 0)),
-                    mode="edge",
-                )
-                piece = np.asarray(self._run_prepadded(band_arr))
+
+                def band_of(src_lo=src_lo, src_hi=src_hi, top=top, bottom=bottom):
+                    return np.pad(
+                        scene[src_lo:src_hi],
+                        ((top, bottom), (half, pad_right), (0, 0)),
+                        mode="edge",
+                    )
+
                 y = r0 * kernel
                 hi = min(y + rb * kernel, h)
-                out[y:hi] = piece[e_top * kernel : e_top * kernel + hi - y, :w]
+
+                def place(out, piece, y=y, hi=hi, e_top=e_top):
+                    out[y:hi] = piece[e_top * kernel : e_top * kernel + hi - y, :w]
+
+                jobs.append((band_of, place))
                 r0 += rb
         else:
             # reference grid: chip (r, c) reads scene[r*k : r*k+side, ...];
@@ -533,11 +545,48 @@ class TiledInferenceEngine:
                     e_bot = min(halo, rows_total - r0 - rb)
                     ry = (r0 - e_top) * kernel
                     n_rows = rb + e_top + e_bot
-                    band_arr = scene[ry : ry + n_rows * kernel + buffer, :w_used]
-                    piece = np.asarray(self._run_prepadded(band_arr))
+
+                    def band_of(ry=ry, n_rows=n_rows):
+                        return scene[ry : ry + n_rows * kernel + buffer, :w_used]
+
                     y = r0 * kernel + half
-                    out[y : y + rb * kernel, half : half + cols_total * kernel] = piece[
-                        e_top * kernel : (e_top + rb) * kernel
-                    ]
+
+                    def place(out, piece, y=y, rb=rb, e_top=e_top,
+                              cols_total=cols_total):
+                        out[y : y + rb * kernel,
+                            half : half + cols_total * kernel] = piece[
+                            e_top * kernel : (e_top + rb) * kernel
+                        ]
+
+                    jobs.append((band_of, place))
                     r0 += rb
+
+        out = None
+        if jobs:
+            import queue
+            import threading
+
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+            _END = object()
+
+            def stage():
+                try:
+                    for band_of, _ in jobs:
+                        q.put(jax.device_put(jnp.asarray(band_of())))
+                finally:
+                    q.put(_END)
+
+            threading.Thread(target=stage, daemon=True).start()
+            for _, place in jobs:
+                staged = q.get()
+                assert staged is not _END
+                piece = np.asarray(self._run_prepadded(staged))
+                if out is None:
+                    # margins (reference mode) stay zero in the piece dtype,
+                    # preserving the engine's output_transform contract
+                    # (e.g. uint8) through the banded path
+                    out = np.zeros((h, w, self.out_channels), piece.dtype)
+                place(out, piece)
+        if out is None:
+            out = np.zeros((h, w, self.out_channels), np.float32)
         return jnp.asarray(out)
