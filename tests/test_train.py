@@ -131,6 +131,26 @@ def test_data_parallel_step_matches_single_device(rng):
     )
 
 
+def test_eval_step_with_sharded_batch_matches(rng):
+    """Evaluation scales over the mesh without a dedicated parallel step:
+    the jitted eval step auto-partitions when handed a data-sharded batch
+    and replicated state (loss and confusion counts match single-device)."""
+    from satellite_computervision_tpu.train.trainer import make_eval_step
+
+    mesh = make_mesh([("data", 8)])
+    _, state = _toy_model_and_state()
+    loss_fn = lambda y, p: losses.weighted_bce(y, p, pos_weight=1.0, logits=True)
+    eval_step = make_eval_step(loss_fn, pred_key="logits")
+
+    batch = _toy_batch(rng, b=8)
+    plain = eval_step(state, batch)
+    sharded_state = shard_train_state(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    dp = eval_step(sharded_state, sharded)
+    np.testing.assert_allclose(float(plain["loss"]), float(dp["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(plain["cm"]), np.asarray(dp["cm"]), rtol=1e-6)
+
+
 def test_orbax_roundtrip_mesh_sharded_state(tmp_path, rng):
     """Mesh-sharded TrainState through the orbax backend: values AND
     shardings survive the save/restore (the multi-host checkpoint story —
