@@ -248,7 +248,9 @@ def main(argv=None):
         for mode, kw in [
             ("chips", dict(blend="overwrite", index_mode="grid")),
             ("hann", dict(blend="hann", index_mode="grid")),
-            ("whole", dict(tile_mode="whole")),
+            # S2D folds 2x2 before the 5-level trunk -> total downsample 64
+            ("whole", dict(tile_mode="whole",
+                           whole_multiple=64 if args.space_to_depth else 32)),
         ]:
             eng = TiledInferenceEngine(
                 predict, kernel=K, buffer=128, batch_size=8, out_channels=1, **kw
