@@ -201,18 +201,24 @@ def main(argv=None):
           f"batch {args.batch_size}, space_to_depth={args.space_to_depth}")
     for epoch in range(args.epochs):
         t0 = time.time()
-        tloss, steps = 0.0, 0
+        tloss, steps = None, 0
         for x, y in batches("train", args.train_size, args.batch_size, rng):
             key, sub = jax.random.split(key)
             state, out = train_step(state, (x, y), sub)
-            tloss += float(out["loss"]); steps += 1
+            # device-side accumulation: one host sync per epoch (a float()
+            # per step stalls on the relay's latency)
+            tloss = out["loss"] if tloss is None else tloss + out["loss"]
+            steps += 1
+        tloss = float(tloss) if steps else 0.0
 
         cm = np.zeros((2, 2), np.float64)
-        eloss, esteps = 0.0, 0
+        eloss, esteps = None, 0
         for x, y in batches("eval", args.eval_size, args.batch_size, rng, shuffle=False):
             out = eval_step(state, (x, y))
             cm += np.asarray(out["cm"], np.float64)
-            eloss += float(out["loss"]); esteps += 1
+            eloss = out["loss"] if eloss is None else eloss + out["loss"]
+            esteps += 1
+        eloss = float(eloss) if esteps else 0.0
         m = binary_metrics(cm)
         rec = {
             "epoch": epoch,

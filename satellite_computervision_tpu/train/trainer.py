@@ -180,14 +180,18 @@ class Trainer:
 
     def evaluate(self, eval_iter) -> Dict[str, float]:
         cm = metrics_lib.init_metric_state(self.num_classes)
-        total_loss, n = 0.0, 0
+        # accumulate the loss ON DEVICE: a float() per batch forces a
+        # device->host sync every step, which dominates wall time on
+        # high-latency links (DEVNOTES: the TPU tunnel); one sync per
+        # evaluation instead
+        total_loss, n = None, 0
         for batch in eval_iter:
             out = self.eval_step(self.state, batch)
             cm = cm + out["cm"]
-            total_loss += float(out["loss"])
+            total_loss = out["loss"] if total_loss is None else total_loss + out["loss"]
             n += 1
         result = {k: float(v) for k, v in metrics_lib.finalize_metrics(cm).items()}
-        result["loss"] = total_loss / max(n, 1)
+        result["loss"] = float(total_loss) / n if n else 0.0
         return result
 
     def seed_best_from_eval(self, eval_iter):
@@ -208,17 +212,21 @@ class Trainer:
         train_it = iter(train_iter)
         for epoch in range(epochs):
             cm = metrics_lib.init_metric_state(self.num_classes)
-            running_loss = 0.0
+            # device-side loss accumulation: one host sync per epoch, not
+            # per step (a per-step float() stalls on link latency)
+            running_loss = None
             for _ in range(steps_per_epoch):
                 batch = next(train_it)
                 self._key, sub = jax.random.split(self._key)
                 self.state, out = self.train_step(self.state, batch, sub)
                 cm = cm + out["cm"]
-                running_loss += float(out["loss"])
+                running_loss = (
+                    out["loss"] if running_loss is None else running_loss + out["loss"]
+                )
             train_metrics = {
                 k: float(v) for k, v in metrics_lib.finalize_metrics(cm).items()
             }
-            train_metrics["loss"] = running_loss / steps_per_epoch
+            train_metrics["loss"] = float(running_loss) / steps_per_epoch
 
             record = {"epoch": epoch, "train": train_metrics}
             # checkpoint-best on eval metrics when an eval stream exists
