@@ -100,6 +100,20 @@ def _naive_hann_blend(weighted, kernel, rows, cols, side):
     return canvas * hann_inverse_weights(rows, cols, kernel, side)[..., None]
 
 
+def test_hann_window_single_source():
+    """The engine's 2-D window must be the outer product of the SAME 1-D
+    profile the blend normalizer divides out — a fork of the formula
+    would silently mis-scale every hann output."""
+    from satellite_computervision_tpu.inference.tiles import _hann_window
+    from satellite_computervision_tpu.pallas.stitch import hann_window_1d
+
+    for side in (12, 48, 384):
+        w1 = hann_window_1d(side)
+        np.testing.assert_array_equal(
+            np.asarray(_hann_window(side)), w1[:, None] * w1[None, :]
+        )
+
+
 def test_hann_stitch_matches_naive(rng):
     from satellite_computervision_tpu.pallas.stitch import hann_stitch
 
