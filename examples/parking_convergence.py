@@ -17,7 +17,6 @@ epoch to --out; committed history: runs/parking_convergence.jsonl.
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -27,6 +26,11 @@ import optax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+from convergence_common import (  # noqa: E402
+    run_convergence,
+    smooth_field,
+    stable_seed,
+)
 from satellite_computervision_tpu.models import UNet, DeepLabV3Plus, losses  # noqa: E402
 from satellite_computervision_tpu.train import create_train_state  # noqa: E402
 from satellite_computervision_tpu.train.trainer import (  # noqa: E402
@@ -45,17 +49,6 @@ ROOF = np.array([0.55, 0.52, 0.50], np.float32)
 STRIPE = np.array([0.85, 0.85, 0.85], np.float32)
 
 
-def _smooth_field(rng, k, scale=32):
-    low = rng.normal(size=(k // scale + 2, k // scale + 2)).astype(np.float32)
-    idx = np.linspace(0, low.shape[0] - 1.001, k)
-    yi, xi = np.meshgrid(idx, idx, indexing="ij")
-    y0, x0 = yi.astype(int), xi.astype(int)
-    fy, fx = yi - y0, xi - x0
-    a = low[y0, x0] * (1 - fy) * (1 - fx) + low[y0 + 1, x0] * fy * (1 - fx)
-    b = low[y0, x0 + 1] * (1 - fy) * fx + low[y0 + 1, x0 + 1] * fy * fx
-    return a + b
-
-
 def _paved_rect(rng, max_side):
     h = int(rng.integers(30, max_side))
     w = int(rng.integers(40, max_side))
@@ -66,12 +59,9 @@ def _paved_rect(rng, max_side):
 
 def make_chip(split: str, index: int):
     """Deterministic (chip (K,K,3) float16, label (K,K,1) uint8)."""
-    import zlib
+    rng = np.random.default_rng(stable_seed(split, index, stride=2_000_003))
 
-    seed = (zlib.crc32(split.encode()) & 0xFFFF) * 2_000_003 + index
-    rng = np.random.default_rng(seed)
-
-    green = np.clip(0.5 + 0.5 * _smooth_field(rng, K), 0, 1)[..., None]
+    green = np.clip(0.5 + 0.5 * smooth_field(rng, K, scale=32), 0, 1)[..., None]
     chip = green * GRASS + (1 - green) * SOIL
     label = np.zeros((K, K), np.float32)
 
@@ -109,28 +99,6 @@ def make_chip(split: str, index: int):
     return np.clip(chip, 0, 1).astype(np.float16), label[..., None].astype(np.uint8)
 
 
-def batches(split, n, batch, rng, shuffle=True, prefetch=2):
-    def raw():
-        order = np.arange(n)
-        if shuffle:
-            rng.shuffle(order)
-        for i in range(0, n - batch + 1, batch):
-            xs, ys = zip(*(make_chip(split, int(j)) for j in order[i : i + batch]))
-            yield np.stack(xs), np.stack(ys)
-
-    yield from prefetch_to_device(raw(), size=prefetch)
-
-
-def binary_metrics(cm):
-    tn, fp, fn, tp = cm[0, 0], cm[0, 1], cm[1, 0], cm[1, 1]
-    iou = tp / max(tp + fp + fn, 1)
-    prec = tp / max(tp + fp, 1)
-    rec = tp / max(tp + fn, 1)
-    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
-    acc = (tp + tn) / max(cm.sum(), 1)
-    return {"iou": iou, "f1": f1, "precision": prec, "recall": rec, "accuracy": acc}
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", choices=["unet", "deeplab"], default="unet")
@@ -163,45 +131,13 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     log = open(args.out, "a")
-    rng = np.random.default_rng(args.seed)
-    key = jax.random.key(args.seed + 1)
-    best = {"iou": 0.0}
 
     print(f"parking convergence ({args.model}): {args.train_size} chips x "
           f"{args.epochs} epochs, batch {args.batch_size}, pos_weight {args.pos_weight}")
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        tloss, steps = None, 0
-        for x, y in batches("train", args.train_size, args.batch_size, rng):
-            key, sub = jax.random.split(key)
-            state, out = train_step(state, (x, y), sub)
-            # device-side accumulation: one host sync per epoch (a float()
-            # per step stalls on the relay's latency)
-            tloss = out["loss"] if tloss is None else tloss + out["loss"]
-            steps += 1
-        tloss = float(tloss) if steps else 0.0
-
-        cm = np.zeros((2, 2), np.float64)
-        eloss, esteps = None, 0
-        for x, y in batches("eval", args.eval_size, args.batch_size, rng, shuffle=False):
-            out = eval_step(state, (x, y))
-            cm += np.asarray(out["cm"], np.float64)
-            eloss = out["loss"] if eloss is None else eloss + out["loss"]
-            esteps += 1
-        eloss = float(eloss) if esteps else 0.0
-        m = binary_metrics(cm)
-        rec = {
-            "epoch": epoch, "model": args.model,
-            "train_loss": tloss / max(steps, 1),
-            "eval_loss": eloss / max(esteps, 1),
-            **{k: round(float(v), 4) for k, v in m.items()},
-            "secs": round(time.time() - t0, 1),
-        }
-        if m["iou"] > best["iou"]:
-            best = {**m, "epoch": epoch}
-        print(json.dumps(rec))
-        log.write(json.dumps(rec) + "\n")
-        log.flush()
+    state, best = run_convergence(
+        state, train_step, eval_step, make_chip, args, log,
+        extra_record={"model": args.model},
+    )
 
     summary = {"final": {k: round(float(v), 4) for k, v in best.items()},
                "config": vars(args)}

@@ -190,15 +190,24 @@ def _shuffled(iterator, buffer_size: int, rng: random.Random):
 
 def prefetch_to_device(iterator, size: int = 2, device=None):
     """Background-thread prefetcher: overlaps host IO/parse + H2D transfer
-    with device compute (double-buffered for ``size=2``)."""
+    with device compute (double-buffered for ``size=2``).
+
+    Worker errors propagate to the consumer (re-raised from the generator)
+    instead of silently truncating the stream. If the consumer abandons
+    the generator early while the source still has items, the daemon
+    thread stays blocked holding at most ``size`` staged items — iterate
+    the generator to exhaustion (even discarding values) to release it."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def worker():
         try:
             for item in iterator:
                 q.put(jax.device_put(item, device))
-        finally:
+        except BaseException as e:  # propagate, don't truncate
+            q.put((_ERR, e))
+        else:
             q.put(_END)
 
     thread = threading.Thread(target=worker, daemon=True)
@@ -207,6 +216,8 @@ def prefetch_to_device(iterator, size: int = 2, device=None):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item
 
 

@@ -414,23 +414,13 @@ class TiledInferenceEngine:
         import queue
         import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        _END = object()
-
-        def stage():
-            try:
-                for scene in scenes:
-                    q.put(jax.device_put(jnp.asarray(scene)))
-            finally:
-                q.put(_END)
-
-        threading.Thread(target=stage, daemon=True).start()
+        from satellite_computervision_tpu.data.pipeline import prefetch_to_device
 
         def compute():
-            while True:
-                staged = q.get()
-                if staged is _END:
-                    return
+            staged_scenes = prefetch_to_device(
+                (jnp.asarray(s) for s in scenes), size=prefetch
+            )
+            for staged in staged_scenes:
                 # program dispatch is async: the device result is yielded
                 # immediately and execution queues on-device
                 yield self.predict_scene(staged)
@@ -563,30 +553,29 @@ class TiledInferenceEngine:
 
         out = None
         if jobs:
-            import queue
-            import threading
+            from satellite_computervision_tpu.data.pipeline import prefetch_to_device
 
-            q: "queue.Queue" = queue.Queue(maxsize=2)
-            _END = object()
-
-            def stage():
-                try:
-                    for band_of, _ in jobs:
-                        q.put(jax.device_put(jnp.asarray(band_of())))
-                finally:
-                    q.put(_END)
-
-            threading.Thread(target=stage, daemon=True).start()
-            for _, place in jobs:
-                staged = q.get()
-                assert staged is not _END
-                piece = np.asarray(self._run_prepadded(staged))
-                if out is None:
-                    # margins (reference mode) stay zero in the piece dtype,
-                    # preserving the engine's output_transform contract
-                    # (e.g. uint8) through the banded path
-                    out = np.zeros((h, w, self.out_channels), piece.dtype)
-                place(out, piece)
+            # size=1 keeps peak residency at 2 band inputs (1 staged + 1
+            # computing) — max_rows exists to bound device memory, so the
+            # pipeline must not silently triple it
+            staged_bands = prefetch_to_device(
+                (jnp.asarray(band_of()) for band_of, _ in jobs), size=1
+            )
+            try:
+                for staged, (_, place) in zip(staged_bands, jobs):
+                    piece = np.asarray(self._run_prepadded(staged))
+                    if out is None:
+                        # margins (reference mode) stay zero in the piece
+                        # dtype, preserving the engine's output_transform
+                        # contract (e.g. uint8) through the banded path
+                        out = np.zeros((h, w, self.out_channels), piece.dtype)
+                    place(out, piece)
+            except BaseException:
+                # drain so the staging thread can exit instead of blocking
+                # forever holding staged bands
+                for _ in staged_bands:
+                    pass
+                raise
         if out is None:
             out = np.zeros((h, w, self.out_channels), np.float32)
         return jnp.asarray(out)

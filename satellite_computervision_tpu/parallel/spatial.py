@@ -14,7 +14,7 @@ no per-worker model downloads.
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -37,7 +37,7 @@ def make_spatial_inference(
     out_channels: int = 1,
     batch_size: int = 16,
     tile_mode: str = "chips",
-    whole_multiple: int = 32,
+    whole_multiple: Optional[int] = None,
 ):
     """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
 
@@ -64,10 +64,10 @@ def make_spatial_inference(
         """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
         hl = band.shape[0] - buffer
         if tile_mode == "whole":
-            # the fully-conv model needs band dims divisible by its total
-            # downsampling — fail with guidance, not a deep reshape error
-            bad = [d for d in band.shape[:2] if d % whole_multiple]
-            if bad:
+            # optional guard: a fully-conv model with total downsampling D
+            # needs band dims divisible by D — pass whole_multiple=D to get
+            # a guided error instead of a deep reshape failure
+            if whole_multiple and any(d % whole_multiple for d in band.shape[:2]):
                 raise ValueError(
                     f"whole-band shape {band.shape[:2]} is not a multiple of "
                     f"whole_multiple={whole_multiple}; pick kernel/buffer "
