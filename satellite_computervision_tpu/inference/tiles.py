@@ -431,14 +431,18 @@ class TiledInferenceEngine:
 
         # three stages: staging H2D / async program dispatch / D2H
         # materialization — the dispatch thread runs ahead (bounded by the
-        # queue), so scene N+1 computes while scene N reads back.
+        # queue), so scene N+1 computes while scene N reads back. Dispatch
+        # errors propagate to the consumer like prefetch_to_device's.
         dq: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _END, _ERR = object(), object()
 
         def dispatch():
             try:
                 for pred in compute():
                     dq.put(pred)
-            finally:
+            except BaseException as e:
+                dq.put((_ERR, e))
+            else:
                 dq.put(_END)
 
         threading.Thread(target=dispatch, daemon=True).start()
@@ -446,6 +450,8 @@ class TiledInferenceEngine:
             pred = dq.get()
             if pred is _END:
                 return
+            if isinstance(pred, tuple) and len(pred) == 2 and pred[0] is _ERR:
+                raise pred[1]
             yield np.asarray(pred)
 
     def _run_prepadded(self, band_arr):

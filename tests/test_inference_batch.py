@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from satellite_computervision_tpu.inference import TiledInferenceEngine
 
@@ -71,6 +72,26 @@ def test_predict_scenes_stream_order(rng):
     # outputs arrive in input order (prefetch must not reorder)
     means = [float(np.asarray(o).mean()) for o in outs]
     assert means == sorted(means)
+
+    # 3-stage form (threaded D2H readback, the bench/production path):
+    # same values, already-materialized numpy, same order
+    outs3 = list(eng.predict_scenes(iter(scenes), prefetch=2, readback=True))
+    assert len(outs3) == 4 and all(isinstance(o, np.ndarray) for o in outs3)
+    for a, b in zip(outs, outs3):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6)
+
+
+def test_predict_scenes_readback_propagates_errors(rng):
+    """A model error inside the dispatch thread must re-raise in the
+    consumer, not hang or truncate the stream silently."""
+    def boom(chips):
+        raise RuntimeError("model exploded")
+
+    eng = TiledInferenceEngine(boom, kernel=32, buffer=16, batch_size=4,
+                               out_channels=1)
+    scenes = [rng.normal(size=(96, 96, 2)).astype(np.float32)]
+    with pytest.raises(RuntimeError, match="model exploded"):
+        list(eng.predict_scenes(iter(scenes), readback=True))
 
 
 def test_engine_shape_fuzz(rng):
