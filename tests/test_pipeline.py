@@ -118,6 +118,8 @@ def test_f16_staging_matches_f32(tmp_path):
         batch_size=4, shuffle_buffer=8, seed=7, stage_dtype=dt))
     raw16, raw32 = next(mk(np.float16)), next(mk(None))
     assert raw16["B2"].dtype == np.float16
+    # the CLI passes the dtype as a string ("float16"); same result
+    assert next(mk("float16"))["B2"].dtype == np.float16
     pre = make_preprocess_fn(BANDS, "landcover", axes=(0, 1), augment=False)
     x16, y16 = pre(raw16, jax.random.key(0))
     x32, y32 = pre(raw32, jax.random.key(0))
