@@ -231,16 +231,28 @@ from satellite_computervision_tpu.ops.chips import (  # noqa: F401
 )
 
 
+_PREDICT_ENGINES: dict = {}
+
+
 def predict_chips(arr, chip_indices, template, m, kernel=256, buff=128):
     """prediction_tools.py:133 — use TiledInferenceEngine: the whole loop
-    runs as one compiled program. ``m`` is a chip-batch predict fn."""
+    runs as one compiled program. ``m`` is a chip-batch predict fn.
+
+    Engines are cached per (predict fn, geometry): on this toolchain a
+    fresh engine means a minutes-long recompile per call, so repeated
+    calls with the same model and chip geometry must reuse one engine
+    (and its compiled per-shape programs)."""
     from satellite_computervision_tpu.inference import TiledInferenceEngine
 
-    engine = TiledInferenceEngine(
-        m, kernel=kernel, buffer=buff, batch_size=16,
-        out_channels=template.shape[-1] if template.ndim == 3 else 1,
-        blend="sum", index_mode="reference",
-    )
+    out_channels = template.shape[-1] if template.ndim == 3 else 1
+    key = (m, kernel, buff, out_channels)
+    engine = _PREDICT_ENGINES.get(key)
+    if engine is None:
+        engine = _PREDICT_ENGINES[key] = TiledInferenceEngine(
+            m, kernel=kernel, buffer=buff, batch_size=16,
+            out_channels=out_channels,
+            blend="sum", index_mode="reference",
+        )
     return engine.predict_scene(arr)
 
 

@@ -420,10 +420,18 @@ class TiledInferenceEngine:
             staged_scenes = prefetch_to_device(
                 (jnp.asarray(s) for s in scenes), size=prefetch
             )
-            for staged in staged_scenes:
-                # program dispatch is async: the device result is yielded
-                # immediately and execution queues on-device
-                yield self.predict_scene(staged)
+            try:
+                for staged in staged_scenes:
+                    # program dispatch is async: the device result is
+                    # yielded immediately and execution queues on-device
+                    yield self.predict_scene(staged)
+            finally:
+                # if the consumer abandons the stream early (close() /
+                # error), drain the staging generator so its daemon thread
+                # releases the staged device scenes instead of blocking
+                # forever (no-op on normal exhaustion)
+                for _ in staged_scenes:
+                    pass
 
         if not readback:
             yield from compute()
@@ -435,24 +443,41 @@ class TiledInferenceEngine:
         # errors propagate to the consumer like prefetch_to_device's.
         dq: "queue.Queue" = queue.Queue(maxsize=prefetch)
         _END, _ERR = object(), object()
+        stop = threading.Event()
 
         def dispatch():
             try:
                 for pred in compute():
                     dq.put(pred)
+                    if stop.is_set():
+                        # consumer abandoned the stream: stop dispatching
+                        # (compute()'s finally drains the staging thread)
+                        break
             except BaseException as e:
                 dq.put((_ERR, e))
             else:
                 dq.put(_END)
 
-        threading.Thread(target=dispatch, daemon=True).start()
-        while True:
-            pred = dq.get()
-            if pred is _END:
-                return
-            if isinstance(pred, tuple) and len(pred) == 2 and pred[0] is _ERR:
-                raise pred[1]
-            yield np.asarray(pred)
+        thread = threading.Thread(target=dispatch, daemon=True)
+        thread.start()
+        try:
+            while True:
+                pred = dq.get()
+                if pred is _END:
+                    return
+                if isinstance(pred, tuple) and len(pred) == 2 and pred[0] is _ERR:
+                    raise pred[1]
+                yield np.asarray(pred)
+        finally:
+            # early abandonment: unblock the dispatch thread (it may be
+            # parked on dq.put with the queue full) and drain until it
+            # exits, so no staged scenes stay pinned on-device
+            stop.set()
+            while thread.is_alive():
+                try:
+                    dq.get(timeout=0.05)
+                except queue.Empty:
+                    pass
 
     def _run_prepadded(self, band_arr):
         band_arr = jnp.asarray(band_arr)

@@ -29,7 +29,8 @@ def weighted_categorical_crossentropy(y_true, y_pred, weights, axis: int = -1, r
     return jnp.mean(ce) if reduce_mean else ce
 
 
-def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None):
+def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
+             ref_compat: bool = False):
     """Generalized dice loss on (B, H, W, C) one-hot labels + probabilities.
 
     Flattens to (B, H*W, C); class weights are ``1/count^2`` per batch
@@ -39,6 +40,13 @@ def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None):
     counts with ``reduce_sum(axis=-1)``, which sums over classes and
     degenerates to all-ones weights for one-hot labels — a latent bug; we
     implement the intended per-class pixel counts, axis=pixels.)
+
+    ``ref_compat=True`` reproduces the shipped code's actual reduction for
+    loss-curve A/B against a TF run of the reference: counts are summed
+    over ``axis=-1`` (classes), yielding (B, H*W) weights. For C == 1 the
+    shipped code runs (the per-pixel weight sum factors out of both
+    numerator and denominator, so it equals unweighted dice); for C > 1
+    with H*W != C it raises the same broadcast error the TF original does.
     """
     y_true = jnp.asarray(y_true, jnp.float32)
     y_pred = jnp.asarray(y_pred, jnp.float32)
@@ -49,6 +57,12 @@ def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None):
 
     if global_weights is not None:
         weights = jnp.reshape(jnp.asarray(global_weights, jnp.float32), (1, c))
+    elif ref_compat:
+        # the shipped axis: sums over CLASSES, giving (B, H*W) weights
+        # (model_tools.py:79-83 verbatim semantics, bug included)
+        counts = jnp.sum(y_true, axis=-1)
+        weights = 1.0 / (counts**2)
+        weights = jnp.where(jnp.isfinite(weights), weights, eps)
     else:
         counts = jnp.sum(y_true, axis=1)  # (B, C) per-class pixel counts
         weights = 1.0 / (counts**2)

@@ -37,7 +37,7 @@ def make_spatial_inference(
     out_channels: int = 1,
     batch_size: int = 16,
     tile_mode: str = "chips",
-    whole_multiple: Optional[int] = None,
+    whole_multiple: Optional[int] = 32,
 ):
     """Build ``run(scene) -> prediction`` with rows sharded over ``axis``.
 
@@ -64,9 +64,10 @@ def make_spatial_inference(
         """(Hl + buffer, W', C) haloed band -> (Hl, cols*kernel, c_out)."""
         hl = band.shape[0] - buffer
         if tile_mode == "whole":
-            # optional guard: a fully-conv model with total downsampling D
-            # needs band dims divisible by D — pass whole_multiple=D to get
-            # a guided error instead of a deep reshape failure
+            # guard (default 32, matching TiledInferenceEngine): a
+            # fully-conv model with total downsampling D needs band dims
+            # divisible by D — whole_multiple=D gives a guided error
+            # instead of a deep reshape failure (None disables)
             if whole_multiple and any(d % whole_multiple for d in band.shape[:2]):
                 raise ValueError(
                     f"whole-band shape {band.shape[:2]} is not a multiple of "

@@ -94,8 +94,33 @@ def save_checkpoint_orbax(path: str, state, metrics=None, step: Optional[int] = 
             json.dump(meta, f)
 
 
+_META_BUF = 65536
+
+
+def _broadcast_meta(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Ship process 0's sidecar meta to every host (fixed-size uint8
+    buffer, 4-byte length prefix) — hosts without a shared checkpoint
+    filesystem would otherwise silently restore meta={}."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    raw = json.dumps(meta).encode() if jax.process_index() == 0 else b""
+    if len(raw) > _META_BUF - 4:
+        raise ValueError(f"checkpoint meta exceeds {_META_BUF - 4} bytes")
+    buf = np.zeros(_META_BUF, np.uint8)
+    buf[:4] = np.frombuffer(len(raw).to_bytes(4, "little"), np.uint8)
+    buf[4 : 4 + len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(bytes(out[:4]), "little")
+    return json.loads(bytes(out[4 : 4 + n]).decode()) if n else {}
+
+
 def load_checkpoint_orbax(path: str, target):
-    """Restore an orbax checkpoint into ``target``'s structure."""
+    """Restore an orbax checkpoint into ``target``'s structure.
+
+    The scv_meta.json sidecar is written by process 0 only; on multi-host
+    runs it is read on process 0 and broadcast, so hosts without a shared
+    checkpoint filesystem still restore step/metrics consistently."""
     import orbax.checkpoint as ocp
 
     payload = _to_state_dict(target) if hasattr(target, "params") else target
@@ -103,9 +128,11 @@ def load_checkpoint_orbax(path: str, target):
     restored = ckptr.restore(os.path.abspath(path), payload)
     meta_path = os.path.join(path, "scv_meta.json")
     meta = {}
-    if os.path.exists(meta_path):
+    if jax.process_index() == 0 and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    if jax.process_count() > 1:
+        meta = _broadcast_meta(meta)
     if hasattr(target, "params"):
         state = target.replace(
             step=restored["step"],

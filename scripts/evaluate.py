@@ -14,6 +14,7 @@ rates, per-class precision/recall/IoU/F1 — as JSON.
 import argparse
 import glob
 import json
+import os
 import sys
 
 import jax
@@ -24,7 +25,7 @@ from satellite_computervision_tpu.data.pipeline import make_preprocess_fn
 from satellite_computervision_tpu.train.config import CONFIGS
 from satellite_computervision_tpu.train.evaluate import evaluate_confusion
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from predict import load_model  # noqa: E402
 
 

@@ -212,6 +212,15 @@ def main(argv=None):
 
         wrap = None
         if args.model == "hierarchical":
+            if cfg.num_classes < 4:
+                # with num_classes <= 3 the pairwise coarsening below maps
+                # every fine class to sub-class 0 and the auxiliary head
+                # trains on a constant label — meaningless supervision
+                sys.exit(
+                    "--model hierarchical needs num_classes >= 4 (the "
+                    "auxiliary head trains on pairwise-merged classes; "
+                    "use --config landcover or another multi-class config)"
+                )
             # the mid-depth auxiliary head trains on coarsened classes —
             # adjacent fine classes merged pairwise (sub = main // 2); the
             # reference shipped the 3-head builder but no driver or target

@@ -85,6 +85,17 @@ def test_compat_predict_chips(rng):
     assert out.shape == (320, 320, 1)
     assert np.any(out != 0)
 
+    # repeated calls with the same (model, geometry) must reuse one cached
+    # engine (a fresh engine per call is a minutes-long recompile on the
+    # real toolchain)
+    m = lambda c: c.mean(-1, keepdims=True)  # noqa: E731
+    compat._PREDICT_ENGINES.clear()
+    compat.predict_chips(scene, None, template, m, kernel=64, buff=32)
+    eng1 = compat._PREDICT_ENGINES[(m, 64, 32, 1)]
+    compat.predict_chips(scene, None, template, m, kernel=64, buff=32)
+    assert compat._PREDICT_ENGINES[(m, 64, 32, 1)] is eng1
+    assert len(compat._PREDICT_ENGINES) == 1
+
 
 def test_compat_numpy_twins_are_nan_aware(rng):
     """normalize_array/rescale_array/aug_array_color must bind the NumPy

@@ -94,6 +94,33 @@ def test_predict_scenes_readback_propagates_errors(rng):
         list(eng.predict_scenes(iter(scenes), readback=True))
 
 
+@pytest.mark.parametrize("readback", [False, True])
+def test_predict_scenes_early_abandonment_releases_threads(rng, readback):
+    """Closing the output generator after one item must drain and release
+    the staging/dispatch daemon threads (they otherwise block forever
+    holding device-resident scenes)."""
+    import threading
+    import time
+
+    eng = TiledInferenceEngine(_mean_model, kernel=32, buffer=16,
+                               batch_size=4, out_channels=1)
+    scenes = [rng.normal(size=(96, 96, 2)).astype(np.float32) for _ in range(6)]
+    before = {t.ident for t in threading.enumerate()}
+    gen = eng.predict_scenes(iter(scenes), prefetch=2, readback=readback)
+    next(gen)
+    gen.close()  # abandon with 5 scenes unconsumed
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"daemon threads still alive after close(): {leaked}"
+
+
 def test_engine_shape_fuzz(rng):
     """Randomized shapes/modes: output shape always matches, no crashes,
     interior matches the pointwise model."""

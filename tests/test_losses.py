@@ -55,6 +55,30 @@ def test_gen_dice_weights_small_classes_matter():
     assert small_cost > large_cost
 
 
+def test_gen_dice_ref_compat_binary_equals_plain_dice():
+    """ref_compat=True reproduces the shipped axis=-1 reduction
+    (model_tools.py:79-83): for C == 1 the per-pixel weight sum factors
+    out of numerator and denominator, so it equals unweighted dice."""
+    rng = np.random.default_rng(3)
+    y_true = (rng.uniform(size=(2, 8, 8, 1)) > 0.7).astype(np.float32)
+    y_pred = rng.uniform(size=(2, 8, 8, 1)).astype(np.float32)
+    got = float(losses.gen_dice(y_true, y_pred, ref_compat=True))
+    t = y_true.reshape(2, -1)
+    p = y_pred.reshape(2, -1)
+    plain = np.mean(1.0 - 2.0 * (t * p).sum(1) / (t + p).sum(1))
+    assert got == pytest.approx(plain, rel=1e-5)
+
+
+def test_gen_dice_ref_compat_multiclass_raises_like_reference():
+    """For C > 1 the shipped batchwise branch is a (B, H*W) x (B, C)
+    broadcast error in TF; ref_compat reproduces the failure instead of
+    silently computing something else."""
+    labels = np.zeros((1, 4, 4), np.int64)
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    with pytest.raises(Exception):
+        losses.gen_dice(onehot, onehot, ref_compat=True)
+
+
 def test_gen_dice_global_weights():
     labels = np.zeros((1, 4, 4), np.int64)
     onehot = np.eye(2, dtype=np.float32)[labels]
