@@ -70,6 +70,43 @@ def harmonize_to_old(data: np.ndarray, acquired_after_cutoff: bool) -> np.ndarra
     return np.clip(np.asarray(data, np.float32) - S2_OFFSET, 0.0, None)
 
 
+S2_HARMONIZE_CUTOFF = "2022-01-25"
+
+
+def harmonize_s2_stack(stack, times, band_names: Sequence[str]):
+    """Apply the baseline-4.0 harmonization trigger across a time stack.
+
+    (T, H, W, B) DN stack + per-slice acquisition times + band names ->
+    slices acquired on/after the 2022-01-25 processing-baseline cutoff
+    get the 13 offset bands shifted back to the old range (clip at the
+    +1000 offset, then subtract — utils/pc_tools.py:284-326). Non-offset
+    bands (e.g. SCL) and pre-cutoff slices pass through untouched.
+
+    (The reference's xarray ``slice(cutoff)`` / ``slice(cutoff, None)``
+    split duplicates a slice falling exactly ON the cutoff into both
+    halves; here at-cutoff counts as new, once.)
+    """
+    stack = np.array(stack, np.float32, copy=True)
+
+    def _dt64(t):
+        if isinstance(t, np.datetime64):
+            return t
+        s = str(t).strip().replace("Z", "").replace(" ", "T")
+        if len(s) >= 6 and s[-6] in "+-" and s[-3] == ":":
+            s = s[:-6]  # STAC items carry UTC offsets; DNs don't care
+        return np.datetime64(s, "s")
+
+    times = np.asarray([_dt64(t) for t in np.ravel(np.asarray(times, object))])
+    if len(times) != stack.shape[0]:
+        raise ValueError("times must match the stack's leading (time) dim")
+    band_idx = [i for i, b in enumerate(band_names) if b in S2_OFFSET_BANDS]
+    cutoff = np.datetime64(S2_HARMONIZE_CUTOFF)
+    for t in np.nonzero(times >= cutoff)[0]:
+        for b in band_idx:
+            stack[t, ..., b] = np.clip(stack[t, ..., b] - S2_OFFSET, 0.0, None)
+    return stack
+
+
 def normalize_xarray(data, dim: str = "time", epsilon: float = 1e-8):
     """Z-score along a dim (normalize_dataArray, utils/pc_tools.py:90-107);
     works on xarray or plain arrays (dim -> axis 0)."""

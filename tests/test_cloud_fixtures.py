@@ -1,0 +1,343 @@
+"""Recorded-fixture tests for the network clients (no egress needed).
+
+The STAC getters (cloud/pc.py, reference utils/pc_tools.py:131-542) run
+against canned Planetary Computer search responses served by a fake
+pystac-client whose query evaluation mirrors the real STAC API's
+``query`` extension ("lt"/"eq" ops) — so these tests pin the query each
+client constructs, not just that the code imports. The EE builders
+(cloud/ee.py, reference utils/ee_tools.py) run against a recording fake
+``ee`` module that captures the server-side expression graph.
+"""
+
+import datetime as dt
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.cloud import pc
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "stac_items.json")
+
+with open(FIXTURES) as f:
+    CANNED = json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# fake pystac-client / planetary-computer
+# ---------------------------------------------------------------------------
+class FakeItem:
+    def __init__(self, d):
+        self.id = d["id"]
+        self.properties = d["properties"]
+        self.datetime = dt.datetime.fromisoformat(
+            d["properties"]["datetime"].replace("Z", "+00:00")
+        )
+
+    def to_dict(self):
+        return {"id": self.id, "properties": self.properties}
+
+
+def _matches(props, query):
+    """The STAC API query extension's semantics for the ops our clients
+    use (lt / eq) — the fake 'server' honors the query the same way the
+    real one would."""
+    for field, ops in (query or {}).items():
+        val = props.get(field)
+        for op, ref in ops.items():
+            if op == "lt":
+                if not (val is not None and val < ref):
+                    return False
+            elif op == "eq":
+                if val != ref:
+                    return False
+            else:
+                raise AssertionError(f"unsupported query op {op!r}")
+    return True
+
+
+class FakeSearch:
+    def __init__(self, items):
+        self._items = items
+
+    def items(self):
+        return list(self._items)
+
+    get_items = items  # older pystac-client name the reference used
+
+
+class FakeCatalog:
+    def __init__(self, record):
+        self.record = record
+
+    def search(self, collections, bbox=None, datetime=None, query=None, **kw):
+        self.record["search"] = {
+            "collections": collections, "bbox": bbox,
+            "datetime": datetime, "query": query,
+        }
+        items = [FakeItem(d) for d in CANNED.get(collections[0], [])]
+        return FakeSearch([i for i in items if _matches(i.properties, query)])
+
+
+@pytest.fixture()
+def fake_stac(monkeypatch):
+    record = {}
+    sign_sentinel = object()
+
+    fake_client_mod = types.SimpleNamespace(
+        Client=types.SimpleNamespace(
+            open=lambda url, modifier=None: (
+                record.__setitem__("open", {"url": url, "modifier": modifier}),
+                FakeCatalog(record),
+            )[1]
+        )
+    )
+    fake_pc_mod = types.SimpleNamespace(sign_inplace=sign_sentinel)
+    monkeypatch.setattr(pc, "_pystac", lambda: (fake_client_mod, fake_pc_mod))
+    record["sign_sentinel"] = sign_sentinel
+    return record
+
+
+BBOX = (-76.7, 38.5, -76.5, 38.7)
+
+
+def test_search_stac_signs_and_targets_pc(fake_stac):
+    items = pc.search_stac("naip", BBOX, "2019-01-01/2021-12-31")
+    assert fake_stac["open"]["url"] == pc.PC_STAC_URL
+    # items must be signed: the planetary_computer.sign_inplace modifier
+    # is what turns blob hrefs into authorized URLs (pc_tools.py:349-351)
+    assert fake_stac["open"]["modifier"] is fake_stac["sign_sentinel"]
+    assert fake_stac["search"]["collections"] == ["naip"]
+    assert fake_stac["search"]["bbox"] == BBOX
+    assert len(items) == 3
+
+
+def test_get_s2_stac_cloud_cover_query(fake_stac):
+    items = pc.get_s2_stac(BBOX, "2021-11-01/2022-05-01", max_cloud=10.0)
+    # the query the client sent is the reference's (pc_tools.py:353-358)
+    assert fake_stac["search"]["query"] == {"eo:cloud_cover": {"lt": 10.0}}
+    assert fake_stac["search"]["collections"] == ["sentinel-2-l2a"]
+    # the 64.5%-cloud item is excluded by the server-side filter
+    ids = {i.id for i in items}
+    assert ids == {
+        "S2B_MSIL2A_20211202T160459_R054_T17SQV",
+        "S2A_MSIL2A_20220307T160151_R054_T17SQV",
+    }
+
+
+def test_get_s1_stac_orbit_and_mode_query(fake_stac):
+    items = pc.get_s1_stac(BBOX, "2022-01-01/2022-02-01", orbit="ascending")
+    assert fake_stac["search"]["query"] == {
+        "sat:orbit_state": {"eq": "ascending"},
+        "sar:instrument_mode": {"eq": "IW"},
+    }
+    # descending and EW-mode items filtered out
+    assert [i.id for i in items] == ["S1A_IW_GRDH_20220105T230102_asc"]
+
+
+def test_get_naip_stac_newest_year_filter(fake_stac):
+    items = pc.get_naip_stac(BBOX)
+    # 2019 flight dropped; both 2021 tiles kept (pc_tools.py:131-186)
+    years = {i.datetime.year for i in items}
+    assert years == {2021}
+    assert len(items) == 2
+
+
+def test_dem_hag_ssurgo_collections(fake_stac):
+    assert [i.id for i in pc.get_dem_stac(BBOX)] == ["n39w077-13"]
+    assert fake_stac["search"]["collections"] == ["3dep-seamless"]
+    assert [i.id for i in pc.get_hag_stac(BBOX)] == ["USGS_LPC_MD_VA_Sandy_hag"]
+    assert fake_stac["search"]["collections"] == ["3dep-lidar-hag"]
+    assert [i.id for i in pc.get_ssurgo_stac(BBOX)] == ["conus_mukey_ne"]
+    assert fake_stac["search"]["collections"] == ["gnatsgo-rasters"]
+
+
+def test_ssurgo_join_from_fixture_table(fake_stac):
+    """End-to-end wiring: search the soils collection, then join the
+    canned attribute table onto a mukey raster (pc_tools.py:496-562)."""
+    assert pc.get_ssurgo_stac(BBOX)
+    table = {
+        attr: {int(k): v for k, v in tbl.items()}
+        for attr, tbl in CANNED["ssurgo_attributes"].items()
+    }
+    mukey = np.array([[100001, 100002], [100003, 999999]])
+    out = pc.join_ssurgo(mukey, table)
+    assert out.shape == (2, 2, len(pc.SSURGO_ATTRIBUTES))
+    # hydclprs is attribute 0
+    np.testing.assert_allclose(out[0, 0, 0], 85.0)
+    np.testing.assert_allclose(out[0, 1, 0], 0.0)
+    # mukey absent from the table -> NaN
+    assert np.isnan(out[1, 1]).all()
+    # flodfreqdcd (attr 2) has no entry for 100002
+    assert np.isnan(out[0, 1, 2])
+
+
+def test_harmonize_s2_stack_cutoff_trigger():
+    """The baseline-4.0 trigger (pc_tools.py:284-326): only slices
+    acquired on/after 2022-01-25 and only the 13 offset bands shift."""
+    bands = ["B02", "B03", "B04", "B08", "SCL"]
+    times = [i["properties"]["datetime"] for i in CANNED["sentinel-2-l2a"][:2]]
+    stack = np.full((2, 2, 2, 5), 1500.0, np.float32)
+    stack[1, ..., 0] = 400.0  # below the offset: clamps to 0, not -600
+    out = pc.harmonize_s2_stack(stack, times, bands)
+    # pre-cutoff slice untouched
+    np.testing.assert_allclose(out[0], stack[0])
+    # post-cutoff: offset bands shifted by -1000 (clamped at 0)
+    np.testing.assert_allclose(out[1, ..., 0], 0.0)
+    np.testing.assert_allclose(out[1, ..., 1:4], 500.0)
+    # SCL is not an offset band
+    np.testing.assert_allclose(out[1, ..., 4], 1500.0)
+
+
+def test_harmonize_s2_stack_at_cutoff_counts_once():
+    out = pc.harmonize_s2_stack(
+        np.full((1, 1, 1, 1), 1500.0), ["2022-01-25T00:00:00"], ["B02"]
+    )
+    np.testing.assert_allclose(out[0, ..., 0], 500.0)
+
+
+# ---------------------------------------------------------------------------
+# fake Earth Engine: record the server-side expression graph
+# ---------------------------------------------------------------------------
+class EENode:
+    """Every method call returns a new node recording (receiver, op, args)
+    into a shared trace — a flight recorder for the lazy EE graph."""
+
+    _n = 0
+
+    def __init__(self, trace, label):
+        self.trace = trace
+        self.label = label
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def call(*args, **kwargs):
+            EENode._n += 1
+            out = EENode(self.trace, f"n{EENode._n}")
+            self.trace.append((self.label, name, args, kwargs, out.label))
+            return out
+
+        return call
+
+
+def _ops(trace):
+    return [(op, args) for _, op, args, _, _ in trace]
+
+
+@pytest.fixture()
+def fake_ee(monkeypatch):
+    from satellite_computervision_tpu.cloud import ee as ee_mod
+
+    trace = []
+
+    class FakeEEModule:
+        @staticmethod
+        def Image(val):
+            node = EENode(trace, f"Image({val})")
+            trace.append(("ee", "Image", (val,), {}, node.label))
+            return node
+
+        Reducer = EENode(trace, "Reducer")
+        Dictionary = EENode(trace, "Dictionary")
+
+    monkeypatch.setattr(ee_mod, "_ee", lambda: FakeEEModule)
+    return ee_mod, trace
+
+
+def test_ee_basic_qa_builds_qa60_bitmask(fake_ee):
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    ee_mod.basic_qa(img)
+    ops = _ops(trace)
+    # the QA60 cloud (bit 10 = 1024) and cirrus (bit 11 = 2048) tests —
+    # the EE-required spelling of masking.basic_qa_mask's math
+    # (utils/ee_tools.py:159-180)
+    assert ("select", ("QA60",)) in ops
+    assert ("bitwiseAnd", (1024,)) in ops
+    assert ("bitwiseAnd", (2048,)) in ops
+    assert ops.count(("eq", (0,))) == 2
+    assert any(op == "updateMask" for op, _ in ops)
+
+
+def test_ee_mask_sr_excludes_scl_classes(fake_ee):
+    ee_mod, trace = fake_ee
+    ee_mod.mask_sr(EENode(trace, "img"))
+    ops = _ops(trace)
+    # cloud/shadow/cirrus/snow + dark/defective SCL classes excluded
+    # (utils/ee_tools.py:270-306)
+    for scl_class in (8, 9, 10, 11, 2, 3):
+        assert ("neq", (scl_class,)) in ops
+    assert ("select", ("SCL",)) in ops
+
+
+def test_ee_cloud_score_min_of_indicators(fake_ee):
+    ee_mod, trace = fake_ee
+    ee_mod.sentinel_cloud_score(EENode(trace, "img"))
+    ops = _ops(trace)
+    # starts from ee.Image(1), takes 6 mins, scales to a byte band named
+    # cloudScore (utils/ee_tools.py:218-255)
+    assert ("Image", (1,)) in ops
+    assert sum(1 for op, _ in ops if op == "min") == 6
+    assert ("multiply", (100,)) in ops
+    assert ("rename", (["cloudScore"],)) in ops
+    # NDWI-flavored indicators use the B8/B11 and B3/B11 pairs
+    assert ("normalizedDifference", (["B8", "B11"],)) in ops
+    assert ("normalizedDifference", (["B3", "B11"],)) in ops
+
+
+def test_ee_export_image_patches_format(fake_ee):
+    ee_mod, trace = fake_ee
+
+    captured = {}
+
+    class FakeTask:
+        def start(self):
+            captured["started"] = True
+
+    def to_cloud_storage(**kwargs):
+        captured.update(kwargs)
+        return FakeTask()
+
+    fake = fake_ee[0]._ee()
+    fake.batch = types.SimpleNamespace(
+        Export=types.SimpleNamespace(
+            image=types.SimpleNamespace(toCloudStorage=to_cloud_storage)
+        )
+    )
+    task = ee_mod.export_image_patches(
+        image="IMG", bucket="bkt", path="solar/va", base="pred2022",
+        region="REGION", kernel_size=256, kernel_buffer=(128, 128),
+    )
+    assert captured["started"] and isinstance(task, FakeTask)
+    # the exact overlap-patch export format the batch predictor parses
+    # (solar notebook doExport, cells 75-83)
+    assert captured["fileFormat"] == "TFRecord"
+    assert captured["formatOptions"]["patchDimensions"] == [256, 256]
+    assert captured["formatOptions"]["kernelSize"] == [128, 128]
+    assert captured["formatOptions"]["compressed"] is True
+    assert captured["fileNamePrefix"] == "solar/va/pred2022"
+
+
+def test_ee_wait_for_task_raises_on_failure(fake_ee):
+    ee_mod, _ = fake_ee
+
+    class DoneTask:
+        id = "T1"
+
+        def active(self):
+            return False
+
+        def status(self):
+            return {"state": "COMPLETED"}
+
+    class FailedTask(DoneTask):
+        def status(self):
+            return {"state": "FAILED", "error_message": "quota"}
+
+    assert ee_mod.wait_for_task(DoneTask())["state"] == "COMPLETED"
+    with pytest.raises(RuntimeError, match="quota"):
+        ee_mod.wait_for_task(FailedTask())
