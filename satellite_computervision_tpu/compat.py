@@ -213,11 +213,14 @@ def get_blob_model(model_url=None, weights_url=None, target=None,
 
         with urllib.request.urlopen(url) as resp:
             blob = resp.read()
-        loader = (
-            keras_import.load_keras_siamese_h5
-            if family == "siamese"
-            else keras_import.load_keras_unet_h5
-        )
+        loaders = {
+            "siamese": keras_import.load_keras_siamese_h5,
+            "lstm": keras_import.load_keras_lstm_h5,
+            "convlstm": keras_import.load_keras_lstm_h5,
+            "lstm_autoencoder": keras_import.load_keras_lstm_autoencoder_h5,
+            "hybrid": keras_import.load_keras_hybrid_h5,
+        }
+        loader = loaders.get(family, keras_import.load_keras_unet_h5)
         return loader(blob, target, batch_stats)
     from satellite_computervision_tpu.train.checkpoint import load_remote_weights
 

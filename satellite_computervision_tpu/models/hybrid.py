@@ -25,6 +25,7 @@ class UNetTrunk(nn.Module):
     filters: Sequence[int] = (32, 64, 128, 256)
     factors: Sequence[int] = (3, 2, 2, 2)
     dropout: Optional[float] = None
+    convs_per_block: int = 2
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -33,9 +34,11 @@ class UNetTrunk(nn.Module):
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         skips = []
         for feat, factor in zip(self.filters, self.factors):
-            x, skip = EncoderBlock(feat, pool=(factor, factor), **common)(x, train)
+            x, skip = EncoderBlock(
+                feat, pool=(factor, factor), n_convs=self.convs_per_block, **common
+            )(x, train)
             skips.append(skip)
-        x = ConvBlock(self.filters[-1] * 2, **common)(x, train)
+        x = ConvBlock(self.filters[-1] * 2, n_convs=self.convs_per_block, **common)(x, train)
         for feat, factor, skip in zip(
             reversed(self.filters), reversed(self.factors), reversed(skips)
         ):
@@ -51,6 +54,10 @@ class HybridUNetLSTM(nn.Module):
     factors: Sequence[int] = (3, 2, 2, 2)
     lstm_features: int = 64
     dropout: Optional[float] = None
+    # convs_per_block=1 reproduces the shipped conv_block double-call bug
+    # (utils/model_tools.py:238-239) — required to receive reference .h5
+    # weights via train.keras_import.load_keras_hybrid_h5
+    convs_per_block: int = 2
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -59,7 +66,8 @@ class HybridUNetLSTM(nn.Module):
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
         unet_out = UNetTrunk(
-            self.filters, self.factors, dropout=self.dropout, **common, name="unet"
+            self.filters, self.factors, dropout=self.dropout,
+            convs_per_block=self.convs_per_block, **common, name="unet"
         )(jnp.asarray(unet_input, self.dtype), train)
         if self.dropout is not None:
             unet_out = nn.Dropout(

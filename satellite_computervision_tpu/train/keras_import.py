@@ -34,6 +34,9 @@ __all__ = [
     "read_keras_h5_units",
     "load_keras_unet_h5",
     "load_keras_siamese_h5",
+    "load_keras_lstm_h5",
+    "load_keras_lstm_autoencoder_h5",
+    "load_keras_hybrid_h5",
 ]
 
 
@@ -68,6 +71,8 @@ class _Unit:
     def kind(self) -> str:
         if "gamma" in self.tensors:
             return "bn"
+        if "recurrent_kernel" in self.tensors:
+            return "convlstm"
         k = self.tensors.get("kernel")
         if k is None:
             return "other"
@@ -119,6 +124,70 @@ def _bn_params(u: _Unit):
     params = {"scale": u.tensors["gamma"], "bias": u.tensors["beta"]}
     stats = {"mean": u.tensors["moving_mean"], "var": u.tensors["moving_variance"]}
     return params, stats
+
+
+def _require_shape(dst, src, where: str):
+    if tuple(np.shape(dst)) != tuple(np.shape(src)):
+        raise ValueError(
+            f"{where}: kernel shape mismatch {np.shape(src)} (h5) vs "
+            f"{np.shape(dst)} (model) — filters/time-steps/bands differ"
+        )
+
+
+def _assign_convlstm(p_tree, u: _Unit, where: str):
+    """Keras ConvLSTM2D unit -> our ConvLSTM's ``cell`` subtree.
+
+    Keras stores kernel (kh, kw, Cin, 4F), recurrent_kernel (kh, kw, F, 4F)
+    and bias (4F,), gate order i, f, c, o — matching our cell's split
+    (models/convlstm.py). Keras' unit_forget_bias lives IN the stored bias
+    while our cell adds the constant 1 at runtime, so the forget quarter is
+    shifted down by 1 on import (the inverse of test_tf_parity's check).
+    """
+    cell = p_tree["cell"]
+    feats = u.tensors["recurrent_kernel"].shape[2]
+    bias = np.asarray(u.tensors["bias"], np.float32).copy()
+    bias[feats : 2 * feats] -= 1.0
+    _require_shape(cell["input_conv"]["kernel"], u.tensors["kernel"], where)
+    _require_shape(
+        cell["recurrent_conv"]["kernel"], u.tensors["recurrent_kernel"], where
+    )
+    cell["input_conv"]["kernel"] = np.asarray(u.tensors["kernel"])
+    cell["input_conv"]["bias"] = bias
+    cell["recurrent_conv"]["kernel"] = np.asarray(u.tensors["recurrent_kernel"])
+
+
+def _assign_lstm_stack(p_tree, s_tree, units, where: str):
+    """[convlstm, bn, convlstm, bn] -> LSTMStack/LSTMStack2 subtrees
+    (build_lstm_layers / build_lstm_layers2, utils/model_tools.py:666-771)."""
+    kinds = [u.kind for u in units]
+    if kinds != ["convlstm", "bn", "convlstm", "bn"]:
+        raise ValueError(f"{where}: unexpected LSTM stack unit sequence {kinds}")
+    for i, (lstm_u, bn_u) in enumerate([(units[0], units[1]), (units[2], units[3])]):
+        _assign_convlstm(p_tree[f"ConvLSTM_{i}"], lstm_u, f"{where}.ConvLSTM_{i}")
+        bp, bs = _bn_params(bn_u)
+        p_tree[f"BatchNorm_{i}"].update(bp)
+        s_tree[f"BatchNorm_{i}"].update(bs)
+
+
+def _assign_decoder_level(p, s, units, name: str):
+    """[convT, bn, conv, bn, conv, bn] -> a DecoderBlock subtree (the
+    functional decoder_block, utils/model_tools.py:266-319)."""
+    kinds = [u.kind for u in units]
+    if kinds != ["conv_transpose", "bn", "conv", "bn", "conv", "bn"]:
+        raise ValueError(f"{name}: unexpected decoder unit sequence {kinds}")
+    _require_shape(
+        p["ConvTranspose_0"]["kernel"],
+        units[0].tensors["kernel"].transpose(0, 1, 3, 2),
+        name,
+    )
+    p["ConvTranspose_0"].update(_conv_transpose_params(units[0]))
+    for bn_idx, unit in ((0, units[1]), (1, units[3]), (2, units[5])):
+        bp, bs = _bn_params(unit)
+        p[f"BatchNorm_{bn_idx}"].update(bp)
+        s[f"BatchNorm_{bn_idx}"].update(bs)
+    for conv_idx, unit in ((0, units[2]), (1, units[4])):
+        _require_shape(p[f"Conv_{conv_idx}"]["kernel"], unit.tensors["kernel"], name)
+        p[f"Conv_{conv_idx}"].update(_conv_params(unit))
 
 
 def load_keras_unet_h5(path_or_bytes, params, batch_stats):
@@ -366,6 +435,228 @@ def load_keras_siamese_h5(path_or_bytes, params, batch_stats):
 
     _check_shape(params["head"]["kernel"], head_unit.tensors["kernel"], "head")
     params["head"].update(_conv_params(head_unit))
+
+    to_f32 = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), t)
+    return to_f32(params), to_f32(batch_stats)
+
+def load_keras_lstm_h5(path_or_bytes, params, batch_stats):
+    """Map a reference LSTM regression ``.h5`` onto ``models.LSTMModel``.
+
+    Reference builder get_lstm_model (utils/model_tools.py:773-808):
+    build_lstm_layers — ConvLSTM2D(64) 'conv_lstm', BN 'batch_norm',
+    dilated ConvLSTM2D(64) 'dilated_conv_lstm', BN 'batch_norm2' — then a
+    1x1 Conv2D head under capped ReLU. Returns ``(params, batch_stats)``.
+    """
+    layers = read_keras_h5_units(path_or_bytes)
+    units = [u for _, us in layers for u in us if u.kind != "other"]
+    kinds = [u.kind for u in units]
+    if kinds != ["convlstm", "bn", "convlstm", "bn", "conv"]:
+        raise ValueError(
+            f"not a get_lstm_model .h5: unit sequence {kinds} (expected "
+            "convlstm, bn, convlstm, bn, conv)"
+        )
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    _assign_lstm_stack(
+        params["LSTMStack_0"], batch_stats["LSTMStack_0"], units[:4], "LSTMStack_0"
+    )
+    _require_shape(params["Conv_0"]["kernel"], units[4].tensors["kernel"], "head")
+    params["Conv_0"].update(_conv_params(units[4]))
+    to_f32 = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), t)
+    return to_f32(params), to_f32(batch_stats)
+
+
+def load_keras_lstm_autoencoder_h5(path_or_bytes, params, batch_stats):
+    """Map a reference LSTM autoencoder ``.h5`` onto
+    ``models.LSTMAutoencoder``.
+
+    Reference builder get_lstm_autoencoder (utils/model_tools.py:810-872):
+    build_lstm_layers2 encoder (ConvLSTM2D(16) + BN, dilated ConvLSTM2D(16)
+    + BN, residual state_h add), ConvLSTM2D(32) 'lstm_decoder',
+    TimeDistributed 1x1 'temporal_dense', and 1x1 'single_dense' over
+    encoded+sincos. The two head convs are matched by their layer names
+    when present, creation order otherwise.
+    """
+    layers = read_keras_h5_units(path_or_bytes)
+    units = [u for _, us in layers for u in us if u.kind != "other"]
+    kinds = [u.kind for u in units]
+    if kinds != ["convlstm", "bn", "convlstm", "bn", "convlstm", "conv", "conv"]:
+        raise ValueError(
+            f"not a get_lstm_autoencoder .h5: unit sequence {kinds} (expected "
+            "convlstm, bn, convlstm, bn, convlstm, conv, conv)"
+        )
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    _assign_lstm_stack(
+        params["LSTMStack2_0"], batch_stats["LSTMStack2_0"], units[:4], "LSTMStack2_0"
+    )
+    _assign_convlstm(params["lstm_decoder"], units[4], "lstm_decoder")
+
+    temporal, single = units[5], units[6]
+    if "single" in temporal.path and "single" not in single.path:
+        temporal, single = single, temporal
+    _require_shape(
+        params["temporal_dense"]["kernel"], temporal.tensors["kernel"], "temporal_dense"
+    )
+    params["temporal_dense"].update(_conv_params(temporal))
+    _require_shape(
+        params["single_dense"]["kernel"], single.tensors["kernel"], "single_dense"
+    )
+    params["single_dense"].update(_conv_params(single))
+    to_f32 = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), t)
+    return to_f32(params), to_f32(batch_stats)
+
+
+def load_keras_hybrid_h5(path_or_bytes, params, batch_stats):
+    """Map a reference hybrid U-Net/LSTM ``.h5`` onto
+    ``models.HybridUNetLSTM``.
+
+    Reference builder get_hybrid_model (utils/model_tools.py:874-920):
+    a build_unet_layers trunk (encoder_block Layers, center conv_block,
+    functional decoder levels) + 1x1 'unet_dense' ReLU conv, the named
+    build_lstm_layers stack ('conv_lstm'/'batch_norm'/
+    'dilated_conv_lstm'/'batch_norm2') + 1x1 lstm dense conv, and the
+    fusing 1x1 softmax conv named 'probabilities'. LSTM-stack units are
+    pulled out by those explicit layer names; the remaining flat units
+    are decoder levels followed by the unet and lstm dense convs in
+    creation order. Returns ``(params, batch_stats)``.
+    """
+    layers = read_keras_h5_units(path_or_bytes)
+
+    lstm_names = {"conv_lstm", "batch_norm", "dilated_conv_lstm", "batch_norm2"}
+    lstm_units: Dict[str, _Unit] = {}
+    encoders: List[List[_Unit]] = []
+    center: Optional[List[_Unit]] = None
+    prob_unit: Optional[_Unit] = None
+    flat: List[_Unit] = []
+    for lname, units in layers:
+        if not units:
+            continue
+        if lname in lstm_names:
+            if len(units) != 1:
+                raise ValueError(f"{lname}: expected one unit, got {len(units)}")
+            lstm_units[lname] = units[0]
+            continue
+        if lname == "probabilities":
+            prob_unit = units[0]
+            continue
+        nested = any("conv_batch_act" in u.path for u in units)
+        if nested and center is None and not lname.startswith("conv_block"):
+            encoders.append(units)
+        elif nested or lname.startswith("conv_block"):
+            if center is not None:
+                raise ValueError(f"second center conv_block {lname!r}")
+            center = units
+        else:
+            flat.extend(units)
+
+    missing = lstm_names - set(lstm_units)
+    if missing:
+        raise ValueError(f"not a get_hybrid_model .h5: missing layers {sorted(missing)}")
+    if center is None or prob_unit is None:
+        raise ValueError("not a get_hybrid_model .h5: no center conv_block / "
+                         "'probabilities' head")
+
+    # The h5's layer order is a TOPOLOGICAL sort that interleaves the two
+    # branches (observed empirically on tf.keras in this image), so the
+    # dense 1x1 convs cannot be taken positionally. Identify them
+    # structurally — the only 1x1 convs outputting n_classes (decoder
+    # convs are 3x3) — then the remaining flat units are the decoder
+    # levels, 6 convT-led units each, whose within-branch order the
+    # topological sort preserves.
+    prob_out = prob_unit.tensors["kernel"].shape[-1]
+    dense_units = [
+        u for u in flat
+        if u.kind == "conv"
+        and tuple(u.tensors["kernel"].shape[:2]) == (1, 1)
+        and u.tensors["kernel"].shape[-1] == prob_out
+    ]
+    if len(dense_units) != 2:
+        raise ValueError(
+            f"expected 2 dense 1x1 convs (unet/lstm), found {len(dense_units)}"
+        )
+    flat = [u for u in flat if u not in dense_units]
+
+    decoders: List[List[_Unit]] = []
+    i = 0
+    while i < len(flat) and flat[i].kind == "conv_transpose":
+        decoders.append(flat[i : i + 6])
+        i += 6
+    if i != len(flat):
+        raise ValueError(
+            f"unrecognized trailing units after decoder levels: "
+            f"{[u.kind for u in flat[i:]]}"
+        )
+    if len(decoders) != len(encoders):
+        raise ValueError(
+            f"{len(encoders)} encoder blocks but {len(decoders)} decoder levels"
+        )
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    unet_p, unet_s = params["unet"], batch_stats["unet"]
+
+    # unet_dense reads the last decoder's f0 channels; lstm_dense reads the
+    # LSTM stack's feature channels. When those widths coincide, fall back
+    # to creation order (Keras' global auto-name counter: the unet dense is
+    # created before the whole LSTM branch in get_hybrid_model).
+    def _creation_index(u: _Unit) -> int:
+        import re
+
+        m = re.search(r"(\d+)$", u.path.split("/")[0])
+        return int(m.group(1)) if m else -1
+
+    want_unet_in = np.shape(params["unet_dense"]["kernel"])[2]
+    want_lstm_in = np.shape(params["lstm_dense"]["kernel"])[2]
+    a, b = dense_units
+    a_in = a.tensors["kernel"].shape[2]
+    b_in = b.tensors["kernel"].shape[2]
+    if want_unet_in != want_lstm_in and {a_in, b_in} == {want_unet_in, want_lstm_in}:
+        unet_dense_u = a if a_in == want_unet_in else b
+        lstm_dense_u = b if unet_dense_u is a else a
+    else:
+        unet_dense_u, lstm_dense_u = sorted(dense_units, key=_creation_index)
+
+    def assign_cba_seq(units, p_tree, s_tree, where):
+        convs = [u for u in units if u.kind == "conv"]
+        bns = [u for u in units if u.kind == "bn"]
+        want = len([k for k in p_tree if k.startswith("ConvBNAct_")])
+        if len(convs) != want or len(bns) != want:
+            raise ValueError(
+                f"{where}: h5 has {len(convs)} conv(s) per block but the model "
+                f"expects {want} — build HybridUNetLSTM via blocks with "
+                f"convs_per_block={len(convs)}"
+            )
+        for ci, (cu, bu) in enumerate(zip(convs, bns)):
+            sub = p_tree[f"ConvBNAct_{ci}"]
+            _require_shape(sub["Conv_0"]["kernel"], cu.tensors["kernel"], where)
+            sub["Conv_0"].update(_conv_params(cu))
+            bp, bs = _bn_params(bu)
+            sub["BatchNorm_0"].update(bp)
+            s_tree[f"ConvBNAct_{ci}"]["BatchNorm_0"].update(bs)
+
+    for ei, units in enumerate(encoders):
+        name = f"EncoderBlock_{ei}"
+        assign_cba_seq(
+            units, unet_p[name]["ConvBlock_0"], unet_s[name]["ConvBlock_0"], name
+        )
+    assign_cba_seq(center, unet_p["ConvBlock_0"], unet_s["ConvBlock_0"], "center")
+    for di, units in enumerate(decoders):
+        name = f"DecoderBlock_{di}"
+        _assign_decoder_level(unet_p[name], unet_s[name], units, name)
+
+    _assign_lstm_stack(
+        params["LSTMStack_0"],
+        batch_stats["LSTMStack_0"],
+        [lstm_units["conv_lstm"], lstm_units["batch_norm"],
+         lstm_units["dilated_conv_lstm"], lstm_units["batch_norm2"]],
+        "LSTMStack_0",
+    )
+
+    for tgt, unit in (("unet_dense", unet_dense_u), ("lstm_dense", lstm_dense_u),
+                      ("probabilities", prob_unit)):
+        _require_shape(params[tgt]["kernel"], unit.tensors["kernel"], tgt)
+        params[tgt].update(_conv_params(unit))
 
     to_f32 = lambda t: jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), t)
     return to_f32(params), to_f32(batch_stats)
