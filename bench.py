@@ -43,8 +43,11 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 from satellite_computervision_tpu.inference import TiledInferenceEngine  # noqa: E402
-from satellite_computervision_tpu.models import UNet  # noqa: E402
+from satellite_computervision_tpu.models import UNet, fold_unet_variables  # noqa: E402
 from satellite_computervision_tpu.ops.chips import generate_chip_indices  # noqa: E402
+
+# v5e bf16 peak (197 TFLOP/s) — the MFU denominator for this chip
+PEAK_FLOPS = 197e12
 
 
 def build_model():
@@ -59,6 +62,13 @@ def build_model():
         jax.random.key(0), jnp.zeros((1, KERNEL + BUFFER, KERNEL + BUFFER, BANDS))
     )
     return model, variables
+
+
+def build_folded_predict(model, variables):
+    """Serving-mode forward: BN folded into conv weights (models/fold.py)
+    — numerically identical to eval-mode BN, fewer ops in the program."""
+    folded_model, folded_vars = fold_unet_variables(model, variables)
+    return lambda chips: folded_model.apply(folded_vars, chips)["probs"]
 
 
 def make_engine(model, variables):
@@ -118,6 +128,103 @@ def bench_reference_pattern(model, variables, scene_u16, max_chips=8):
     return per_chip * len(idx)
 
 
+def _timed_scalar(jitted, *args, reps=5):
+    """Device time via a full-output reduction + 1-element readback (this
+    backend's block_until_ready is unreliable; a single-pixel probe lets
+    XLA dead-code the program — see profile_ops)."""
+    np.asarray(jitted(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(jitted(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _flops_of(jitted, *args):
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def device_metrics(model, variables, scene_u16):
+    """Device-resident efficiency metrics (the levers that matter off the
+    relay link): whole-scene forward time + MFU, live-BN vs folded-BN,
+    hann blend XLA vs Pallas, and the solar train step + its MFU."""
+    out = {}
+    staged = jax.device_put(jnp.asarray(scene_u16))
+    pre = lambda s: s.astype(jnp.float32) / 10000.0
+    post = lambda p: (p * 255.0).astype(jnp.uint8)
+
+    floor_fn = jax.jit(lambda s: s[0, 0, 0].astype(jnp.float32) * 2)
+    floor = _timed_scalar(floor_fn, staged)
+
+    live = lambda chips: model.apply(variables, chips)["probs"]
+    folded = build_folded_predict(model, variables)
+
+    for tag, predict in (("", live), ("_fold", folded)):
+        whole = TiledInferenceEngine(
+            predict, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+            out_channels=1, tile_mode="whole", preprocess_fn=pre,
+            output_transform=post,
+        )
+        impl = whole._build((SCENE, SCENE, BANDS), staged.dtype)
+        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+        t = _timed_scalar(run, staged) - floor
+        out[f"whole_ms{tag}"] = round(t * 1e3, 1)
+        if tag == "_fold":
+            flops = _flops_of(jax.jit(impl), staged)
+            out["mfu_whole"] = round(flops / t / PEAK_FLOPS, 3)
+
+    # seam-free production config: hann blend, XLA quadrant adds vs the
+    # Pallas stitch-accumulate kernel (one jitted program each)
+    for tag, pallas in (("", False), ("_pallas", True)):
+        hann = TiledInferenceEngine(
+            folded, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+            out_channels=1, blend="hann", index_mode="grid",
+            preprocess_fn=pre, output_transform=post, pallas_blend=pallas,
+        )
+        impl = hann._build((SCENE, SCENE, BANDS), staged.dtype)
+        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+        out[f"hann_ms{tag}"] = round((_timed_scalar(run, staged) - floor) * 1e3, 1)
+
+    # the solar train step (README config: batch 16, 256^2, 6 bands, bf16)
+    from satellite_computervision_tpu.models.losses import weighted_bce
+    from satellite_computervision_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(1)
+    tmodel = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
+    )
+    x = jnp.asarray(rng.normal(size=(16, 256, 256, 6)).astype(np.float32))
+    y = jnp.asarray((rng.uniform(size=(16, 256, 256, 1)) > 0.8).astype(np.float32))
+    state = create_train_state(tmodel, jax.random.key(0), x)
+    step = make_train_step(
+        lambda t, p: weighted_bce(t, p, pos_weight=2.0, logits=True), donate=False
+    )
+    state, m = step(state, (x, y))
+    np.asarray(m["loss"])  # warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, (x, y))
+        np.asarray(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    train_t = best - floor
+    out["train_ms_per_step"] = round(train_t * 1e3, 1)
+    tflops = _flops_of(step, state, (x, y))
+    out["train_mfu"] = round(tflops / train_t / PEAK_FLOPS, 3)
+    return out
+
+
 def main():
     rng = np.random.default_rng(0)
     scenes = [
@@ -141,6 +248,11 @@ def main():
     mpix = SCENE * SCENE / 1e6
     ratios = sorted(r / o for o, r in pairs)
     ours_best = mpix / min(o for o, _ in pairs)
+
+    # device-resident efficiency fields (MFU, folded-BN, pallas, train):
+    # driver-captured so they can't silently regress between rounds
+    extras = device_metrics(model, variables, scenes[0])
+
     print(
         json.dumps(
             {
@@ -150,6 +262,7 @@ def main():
                 "value": round(ours_best, 3),
                 "unit": "MPix/s",
                 "vs_baseline": round(ratios[len(ratios) // 2], 2),
+                **extras,
             }
         )
     )

@@ -19,6 +19,7 @@ from satellite_computervision_tpu.models.convlstm import ConvLSTM, LSTMModel, LS
 from satellite_computervision_tpu.models.acnn import ACNN, HierarchicalACNN
 from satellite_computervision_tpu.models.hybrid import HybridUNetLSTM
 from satellite_computervision_tpu.models.deeplab import DeepLabV3Plus
+from satellite_computervision_tpu.models.fold import fold_conv_bn, fold_unet_variables
 
 __all__ = [
     "losses",

@@ -23,12 +23,18 @@ import jax.numpy as jnp
 
 
 class ConvBNAct(nn.Module):
-    """Conv2D(SAME, dilation) -> BatchNorm -> ReLU (utils/model_tools.py:174-186)."""
+    """Conv2D(SAME, dilation) -> BatchNorm -> ReLU (utils/model_tools.py:174-186).
+
+    ``fold_bn=True`` is the inference-serving mode: the BatchNorm is gone
+    and its affine is pre-folded into the conv kernel/bias
+    (models.fold.fold_unet_variables builds the matching params), removing
+    the BN ops from the compiled program entirely."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation: int = 1
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -41,6 +47,10 @@ class ConvBNAct(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             dtype=self.dtype,
         )(x)
+        if self.fold_bn:
+            if train:
+                raise ValueError("fold_bn is an inference-only mode")
+            return nn.relu(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -66,6 +76,7 @@ class ConvBlock(nn.Module):
     dilation: int = 1
     n_convs: int = 2
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -75,6 +86,7 @@ class ConvBlock(nn.Module):
             kernel_size=self.kernel_size,
             dilation=self.dilation,
             bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )
@@ -93,6 +105,7 @@ class EncoderBlock(nn.Module):
     dilation: int = 1
     n_convs: int = 2
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -104,6 +117,7 @@ class EncoderBlock(nn.Module):
             dilation=self.dilation,
             n_convs=self.n_convs,
             bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )(x, train)
@@ -119,21 +133,33 @@ class DecoderBlock(nn.Module):
     up: Tuple[int, int] = (2, 2)
     dropout: Optional[float] = None
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
+        if self.fold_bn and train:
+            raise ValueError("fold_bn is an inference-only mode")
         bn = dict(momentum=self.bn_momentum, epsilon=1e-3, dtype=self.dtype)
         x = nn.ConvTranspose(
             self.features, self.up, strides=self.up, padding="SAME", dtype=self.dtype
         )(x)
         x = jnp.concatenate([skip, x], axis=-1)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            axis_name=self.bn_axis_name if train else None,
-            **bn,
-        )(x)
+        if self.fold_bn:
+            # the post-concat BN normalizes skip channels too (no single
+            # preceding conv to fold into); it collapses to one constant
+            # per-channel affine
+            ch = x.shape[-1]
+            scale = self.param("affine_0_scale", nn.initializers.ones, (ch,))
+            shift = self.param("affine_0_bias", nn.initializers.zeros, (ch,))
+            x = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                axis_name=self.bn_axis_name if train else None,
+                **bn,
+            )(x)
         x = nn.relu(x)
         if self.dropout is not None:
             # SpatialDropout2D: drop whole feature maps (broadcast over H, W).
@@ -144,11 +170,12 @@ class DecoderBlock(nn.Module):
             )(x)
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                axis_name=self.bn_axis_name if train else None,
-                **bn,
-            )(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    axis_name=self.bn_axis_name if train else None,
+                    **bn,
+                )(x)
             x = nn.relu(x)
         return x
 

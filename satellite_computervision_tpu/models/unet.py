@@ -50,6 +50,11 @@ class UNet(nn.Module):
     # ResNet stem optimization). An architectural variant, not a
     # weight-compatible transform of the plain UNet.
     space_to_depth: bool = False
+    # Inference-serving mode: BatchNorms are folded into conv kernels /
+    # biases (use models.fold.fold_unet_variables to build the matching
+    # params from a trained checkpoint) — the compiled program carries no
+    # BN ops at all. Numerically identical to eval-mode BN.
+    fold_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -57,7 +62,8 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if len(self.filters) != len(self.factors):
             raise ValueError("filters and factors must be the same length")
-        common = dict(bn_momentum=self.bn_momentum, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        common = dict(bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
+                      dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = jnp.asarray(x, self.dtype)
 
         if self.space_to_depth:
@@ -110,14 +116,15 @@ class UNet(nn.Module):
                 self.filters[0], (2, 2), strides=(2, 2), padding="SAME",
                 dtype=self.dtype, name="stem_upsample",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=self.bn_momentum,
-                epsilon=1e-3,
-                dtype=self.dtype,
-                axis_name=self.bn_axis_name if train else None,
-                name="stem_upsample_bn",
-            )(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=self.bn_momentum,
+                    epsilon=1e-3,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                    name="stem_upsample_bn",
+                )(x)
             x = nn.relu(x)
 
         if self.dropout is not None:
