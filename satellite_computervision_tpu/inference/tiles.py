@@ -133,6 +133,27 @@ class TiledInferenceEngine:
         self._compiled_batch = {}
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_model(cls, model, variables, output_key: str = "probs",
+                   fold_bn: bool = True, **kwargs):
+        """Build an engine over a flax model's forward.
+
+        For a ``models.UNet`` with batch statistics, ``fold_bn=True``
+        (default) serves the BN-folded program (models/fold.py) —
+        numerically identical to eval-mode BN with the BN ops compiled
+        out. Other model families serve live eval-mode BN.
+        """
+        from satellite_computervision_tpu.models.unet import UNet
+
+        if fold_bn and isinstance(model, UNet) and not model.fold_bn \
+                and "batch_stats" in variables:
+            from satellite_computervision_tpu.models.fold import fold_unet_variables
+
+            model, variables = fold_unet_variables(model, variables)
+        predict = lambda chips: model.apply(variables, chips)[output_key]
+        return cls(predict, **kwargs)
+
+    # ------------------------------------------------------------------
     def _build(self, scene_shape, scene_dtype=jnp.float32, prepadded=False):
         """Compile the scene program. With ``prepadded=True`` the input is
         an already-padded band of shape (rows*kernel + buffer,

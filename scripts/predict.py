@@ -89,11 +89,21 @@ def main(argv=None):
     ap.add_argument("--transform", type=float, nargs=6,
                     help="affine: xscale xshear xtrans yshear yscale ytrans")
     ap.add_argument("--uint8", action="store_true", help="write probabilities x255 as uint8")
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="serve the BN-folded program (UNet; numerically "
+                    "identical to eval-mode BN, no BN ops in the compiled "
+                    "program)")
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
     arch = args.model or ("siamese" if cfg.family == "siamese" else "unet")
     model, variables = load_model(cfg, args.ckpt, arch=arch)
+    if args.fold_bn:
+        if arch != "unet":
+            sys.exit("--fold-bn currently supports the unet family only")
+        from satellite_computervision_tpu.models import fold_unet_variables
+
+        model, variables = fold_unet_variables(model, variables)
     predict = lambda chips: model.apply(variables, chips)["probs"]
 
     if args.mode == "change":

@@ -48,6 +48,24 @@ def test_folded_forward_matches_eval_bn(rng, kwargs):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_engine_from_model_folds_and_matches(rng):
+    """TiledInferenceEngine.from_model(fold_bn=True) serves the folded
+    program; scene outputs equal the live-BN engine's."""
+    from satellite_computervision_tpu.inference import TiledInferenceEngine
+
+    model = UNet(n_classes=1, filters=(4, 8), factors=(2, 2), head="sigmoid")
+    x = jnp.zeros((1, 48, 48, 3))
+    v = _randomized_variables(model, x, rng)
+    scene = rng.normal(size=(96, 96, 3)).astype(np.float32)
+
+    kwargs = dict(kernel=32, buffer=16, batch_size=4, out_channels=1)
+    eng_fold = TiledInferenceEngine.from_model(model, v, **kwargs)
+    eng_live = TiledInferenceEngine.from_model(model, v, fold_bn=False, **kwargs)
+    got = np.asarray(eng_fold.predict_scene(scene))
+    want = np.asarray(eng_live.predict_scene(scene))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_folded_model_rejects_training(rng):
     model = UNet(n_classes=1, filters=(4,), factors=(2,), fold_bn=True)
     x = jnp.zeros((1, 8, 8, 2))
