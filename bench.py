@@ -458,7 +458,64 @@ def profile_ops():
           f"({SCENE}^2 single conv pass, no tiling)")
 
 
+def probe_layout():
+    """--probe-layout: NHWC vs NCHW conv layouts at the U-Net's
+    whole-scene level shapes (VERDICT r2 asked; decision record in
+    ROADMAP). Each timing is one jitted 2-conv stack, bf16, scalar
+    readback."""
+    import functools
+
+    rng = np.random.default_rng(0)
+    floor = _timed_scalar(
+        jax.jit(lambda s: s[0, 0].astype(jnp.float32) * 2),
+        jax.device_put(np.zeros((8, 8), np.float32)),
+    )
+    for h, cin, cout in [(1984, 4, 32), (1984, 32, 32), (992, 64, 64), (496, 128, 128)]:
+        for layout in ("NHWC", "NCHW"):
+            if layout == "NHWC":
+                x = jnp.asarray(rng.normal(size=(1, h, h, cin)).astype(np.float32), jnp.bfloat16)
+                k1 = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.bfloat16)
+                k2 = jnp.asarray(rng.normal(size=(3, 3, cout, cout)) * 0.1, jnp.bfloat16)
+                dn = ("NHWC", "HWIO", "NHWC")
+            else:
+                x = jnp.asarray(rng.normal(size=(1, cin, h, h)).astype(np.float32), jnp.bfloat16)
+                k1 = jnp.asarray(rng.normal(size=(cout, cin, 3, 3)) * 0.1, jnp.bfloat16)
+                k2 = jnp.asarray(rng.normal(size=(cout, cout, 3, 3)) * 0.1, jnp.bfloat16)
+                dn = ("NCHW", "OIHW", "NCHW")
+
+            conv = functools.partial(
+                jax.lax.conv_general_dilated, window_strides=(1, 1),
+                padding="SAME", dimension_numbers=dn,
+            )
+
+            def stack(x, k1=k1, k2=k2, conv=conv):
+                y = jax.nn.relu(conv(x, k1))
+                y = jax.nn.relu(conv(y, k2))
+                return y.astype(jnp.float32).sum()
+
+            t = _timed_scalar(jax.jit(stack), x) - floor
+            flops = 2 * 9 * h * h * (cin * cout + cout * cout)
+            print(f"{h}^2 {cin}->{cout}->{cout} {layout}: {t*1e3:7.1f} ms "
+                  f"({flops / t / PEAK_FLOPS * 100:.1f}% MFU)", flush=True)
+
+
+def device_metrics_only():
+    """--device-metrics: just the device-resident efficiency fields (for
+    controlled reruns; keep the host otherwise idle — 1-core box, any
+    concurrent process skews even scalar-readback timings)."""
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
+    model, variables = build_model()
+    print(json.dumps(device_metrics(model, variables, scene)))
+
+
 if __name__ == "__main__":
+    if "--device-metrics" in sys.argv:
+        device_metrics_only()
+        sys.exit(0)
+    if "--probe-layout" in sys.argv:
+        probe_layout()
+        sys.exit(0)
     if "--overlap" in sys.argv:
         overlap_experiment()
         sys.exit(0)

@@ -10,7 +10,7 @@ train steps. Prints ``RESULT <json>`` with the per-step losses so the
 parent test can check cross-process agreement and single-process parity.
 
 Not a pytest module (no ``test_`` prefix) — run as
-``python multihost_worker.py <port> <process_id>``.
+``python multihost_worker.py <port> <process_id> <num_processes> [ckpt]``.
 """
 
 import os
@@ -32,7 +32,7 @@ import optax
 
 
 def main():
-    port, pid = sys.argv[1], int(sys.argv[2])
+    port, pid, n_proc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
     from satellite_computervision_tpu.parallel.mesh import (
         host_local_batch_to_global,
@@ -41,10 +41,10 @@ def main():
     )
 
     initialize_distributed(
-        f"127.0.0.1:{port}", num_processes=2, process_id=pid
+        f"127.0.0.1:{port}", num_processes=n_proc, process_id=pid
     )
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 4 and jax.local_device_count() == 2
+    assert jax.process_count() == n_proc, jax.process_count()
+    assert len(jax.devices()) == 2 * n_proc and jax.local_device_count() == 2
 
     from satellite_computervision_tpu.models import UNet, losses
     from satellite_computervision_tpu.parallel.data_parallel import (
@@ -65,7 +65,7 @@ def main():
     # deterministic global batch; each process loads ONLY its half (the
     # multi-host data-loading contract: no process sees the full batch)
     rng = np.random.default_rng(7)
-    gx = rng.normal(size=(4, 16, 16, 2)).astype(np.float32)
+    gx = rng.normal(size=(2 * n_proc, 16, 16, 2)).astype(np.float32)
     gy = (gx[..., :1] > 0.5).astype(np.float32)
     lo, hi = pid * 2, (pid + 1) * 2
     batch = host_local_batch_to_global((gx[lo:hi], gy[lo:hi]), mesh)
@@ -77,7 +77,7 @@ def main():
 
     # cross-process sharded checkpoint: all processes participate in one
     # orbax save (each writes its shards), then restore and verify a leaf
-    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
     if ckpt_dir:
         from satellite_computervision_tpu.train.checkpoint import (
             load_checkpoint_orbax,

@@ -40,7 +40,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_losses():
+def _single_process_losses(n_proc=2):
     """The same two train steps on the full global batch, one process."""
     from satellite_computervision_tpu.models import UNet, losses
     from satellite_computervision_tpu.train.trainer import (
@@ -56,7 +56,7 @@ def _single_process_losses():
     step = make_train_step(loss_fn, pred_key="logits", donate=False)
 
     rng = np.random.default_rng(7)
-    gx = rng.normal(size=(4, 16, 16, 2)).astype(np.float32)
+    gx = rng.normal(size=(2 * n_proc, 16, 16, 2)).astype(np.float32)
     gy = (gx[..., :1] > 0.5).astype(np.float32)
     out_losses = []
     for i in range(2):
@@ -65,7 +65,10 @@ def _single_process_losses():
     return out_losses
 
 
-def test_two_process_bootstrap_matches_single_process(tmp_path):
+@pytest.mark.parametrize("n_proc", [2, 3], ids=["2proc", "3proc"])
+def test_process_bootstrap_matches_single_process(tmp_path, n_proc):
+    """n_proc=3 additionally stresses the orbax multi-writer path (and
+    the sidecar-meta broadcast) beyond the minimal 2-process case."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -81,14 +84,14 @@ def test_two_process_bootstrap_matches_single_process(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(p)] + ckpt_args,
+            [sys.executable, WORKER, str(port), str(p), str(n_proc)] + ckpt_args,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
             cwd=REPO,
             text=True,
         )
-        for p in (0, 1)
+        for p in range(n_proc)
     ]
     outs = []
     try:
@@ -111,9 +114,10 @@ def test_two_process_bootstrap_matches_single_process(tmp_path):
         if ckpt_args:  # cross-process orbax roundtrip ran in every worker
             assert "CKPT_OK" in out, f"sharded checkpoint failed:\n{out}"
 
-    # both processes observe the same replicated loss trajectory
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # every process observes the same replicated loss trajectory
+    for other in losses[1:]:
+        np.testing.assert_allclose(losses[0], other, rtol=1e-6)
     # and it matches the single-process run on the same global batch
-    ref = _single_process_losses()
+    ref = _single_process_losses(n_proc)
     np.testing.assert_allclose(losses[0], ref, rtol=1e-4)
     assert losses[0][1] < losses[0][0]  # optimizer actually stepped
