@@ -194,6 +194,22 @@ def device_metrics(model, variables, scene_u16):
         run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
         out[f"hann_ms{tag}"] = round((_timed_scalar(run, staged) - floor) * 1e3, 1)
 
+    # tuned geometry (r3 probes): XLA's conv efficiency peaks around
+    # batch-16 x ~600^2 chips — kernel 512 + the same 128 buffer covers
+    # 1920^2 with a 4x4 grid at ~2x the k256 grid's throughput, beating
+    # even the single whole-scene pass. Pure engine configuration.
+    tuned = TiledInferenceEngine(
+        folded, kernel=512, buffer=BUFFER, batch_size=16,
+        out_channels=1, blend="hann", index_mode="grid",
+        preprocess_fn=pre, output_transform=post,
+    )
+    impl = tuned._build((SCENE, SCENE, BANDS), staged.dtype)
+    run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+    t = _timed_scalar(run, staged) - floor
+    out["hann_tuned_ms"] = round(t * 1e3, 1)
+    flops = _flops_of(jax.jit(impl), staged)
+    out["mfu_tuned"] = round(flops / t / PEAK_FLOPS, 3)
+
     # the solar train step (README config: batch 16, 256^2, 6 bands, bf16)
     from satellite_computervision_tpu.models.losses import weighted_bce
     from satellite_computervision_tpu.train.trainer import (
@@ -499,6 +515,79 @@ def probe_layout():
                   f"({flops / t / PEAK_FLOPS * 100:.1f}% MFU)", flush=True)
 
 
+def probe_s2d_conv():
+    """--probe-s2dconv: is a parity-decomposed conv worth building?
+
+    A stride-1 3x3 conv over (H, W, C) is mathematically equivalent to a
+    2x2 conv over the (H/2, W/2, 4C) space-to-depth representation with
+    rearranged weights (each output parity class sums shifted taps of
+    the input parity classes). FLOPs rise 16/9 but MXU lane utilization
+    rises 4x at C=32 — probe whether the trade wins on this chip before
+    implementing the exact transform."""
+    import functools
+
+    rng = np.random.default_rng(0)
+    floor = _timed_scalar(
+        jax.jit(lambda s: s[0, 0].astype(jnp.float32) * 2),
+        jax.device_put(np.zeros((8, 8), np.float32)),
+    )
+    cases = [
+        ("3x3 1984^2 c32 (original L0)", (1, 1984, 1984, 32), (3, 3, 32, 32)),
+        ("2x2 992^2 c128 (S2D form of L0)", (1, 992, 992, 128), (2, 2, 128, 128)),
+        ("3x3 1984^2 c4->32 (stem)", (1, 1984, 1984, 4), (3, 3, 4, 32)),
+        ("2x2 992^2 c16->128 (S2D stem)", (1, 992, 992, 16), (2, 2, 16, 128)),
+        ("3x3 992^2 c64 (L1)", (1, 992, 992, 64), (3, 3, 64, 64)),
+        ("2x2 496^2 c256 (S2D form of L1)", (1, 496, 496, 256), (2, 2, 256, 256)),
+    ]
+    conv = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    for name, xshape, kshape in cases:
+        x = jnp.asarray(rng.normal(size=xshape).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=kshape) * 0.1, jnp.bfloat16)
+        f = jax.jit(lambda x, k=k: jax.nn.relu(conv(x, k)).astype(jnp.float32).sum())
+        t = _timed_scalar(f, x) - floor
+        flops = (2 * kshape[0] * kshape[1] * kshape[2] * kshape[3]
+                 * xshape[1] * xshape[2])
+        print(f"{name}: {t*1e3:7.2f} ms ({flops / t / PEAK_FLOPS * 100:.1f}% MFU)",
+              flush=True)
+
+
+def probe_conv_batching():
+    """--probe-batch: same total pixels, different batch/spatial splits —
+    is the shallow-conv MFU shortfall a spatial-tiling artifact XLA
+    handles better at smaller HW or rounder sizes?"""
+    import functools
+
+    rng = np.random.default_rng(0)
+    floor = _timed_scalar(
+        jax.jit(lambda s: s[0, 0].astype(jnp.float32) * 2),
+        jax.device_put(np.zeros((8, 8), np.float32)),
+    )
+    conv = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    cases = [
+        ("b1 1984^2 c32", (1, 1984, 1984, 32)),
+        ("b1 2048^2 c32", (1, 2048, 2048, 32)),
+        ("b4 992^2 c32", (4, 992, 992, 32)),
+        ("b16 496^2 c32", (16, 496, 496, 32)),
+        ("b64 248^2 c32", (64, 248, 248, 32)),
+        ("b16 496^2 c64", (16, 496, 496, 64)),
+    ]
+    for name, xshape in cases:
+        x = jnp.asarray(rng.normal(size=xshape).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(3, 3, xshape[-1], xshape[-1])) * 0.1,
+                        jnp.bfloat16)
+        f = jax.jit(lambda x, k=k: jax.nn.relu(conv(x, k)).astype(jnp.float32).sum())
+        t = _timed_scalar(f, x) - floor
+        flops = 2 * 9 * xshape[0] * xshape[1] * xshape[2] * xshape[3] * xshape[3]
+        print(f"{name}: {t*1e3:7.2f} ms ({flops / t / PEAK_FLOPS * 100:.1f}% MFU)",
+              flush=True)
+
+
 def device_metrics_only():
     """--device-metrics: just the device-resident efficiency fields (for
     controlled reruns; keep the host otherwise idle — 1-core box, any
@@ -515,6 +604,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--probe-layout" in sys.argv:
         probe_layout()
+        sys.exit(0)
+    if "--probe-s2dconv" in sys.argv:
+        probe_s2d_conv()
+        sys.exit(0)
+    if "--probe-batch" in sys.argv:
+        probe_conv_batching()
         sys.exit(0)
     if "--overlap" in sys.argv:
         overlap_experiment()
