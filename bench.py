@@ -588,6 +588,62 @@ def probe_conv_batching():
               flush=True)
 
 
+def probe_train_geometry():
+    """--probe-traingeo: the solar train step (same U-Net, same per-pixel
+    loss) across batch/tile splits. The inference-side probes showed
+    XLA's conv sweet spot near batch-16 x ~500^2; training tiles are a
+    free preprocessing choice (data/chip_generators.py samples chips from
+    the same scenes at any size), so if big tiles lift train MFU the
+    recipe transfers. BN batch statistics average over N*H*W pixels
+    either way — equal pixel budgets give equally-sampled stats."""
+    from satellite_computervision_tpu.models.losses import weighted_bce
+    from satellite_computervision_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(1)
+    floor = _timed_scalar(
+        jax.jit(lambda s: s[0, 0].astype(jnp.float32) * 2),
+        jax.device_put(np.zeros((8, 8), np.float32)),
+    )
+    model = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
+    )
+    cases = [  # (batch, tile): 1x and 4x the reference pixel budget
+        (16, 256), (4, 512), (64, 256), (16, 512), (8, 512), (32, 384),
+    ]
+    for batch, tile in cases:
+        x = jnp.asarray(rng.normal(size=(batch, tile, tile, 6)).astype(np.float32))
+        y = jnp.asarray(
+            (rng.uniform(size=(batch, tile, tile, 1)) > 0.8).astype(np.float32)
+        )
+        state = create_train_state(model, jax.random.key(0), x)
+        step = make_train_step(
+            lambda t, p: weighted_bce(t, p, pos_weight=2.0, logits=True),
+            donate=False,
+        )
+        try:
+            state, m = step(state, (x, y))
+            np.asarray(m["loss"])  # compile + warm
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                state, m = step(state, (x, y))
+                np.asarray(m["loss"])
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # OOM at the big splits is a result too
+            print(f"b{batch} {tile}^2: FAILED ({type(e).__name__})", flush=True)
+            continue
+        t = best - floor
+        flops = _flops_of(step, state, (x, y))
+        mpix = batch * tile * tile / t / 1e6
+        print(f"b{batch} {tile}^2: {t*1e3:7.1f} ms  "
+              f"{mpix:7.1f} MPix/s  ({flops / t / PEAK_FLOPS * 100:.1f}% MFU)",
+              flush=True)
+
+
 def device_metrics_only():
     """--device-metrics: just the device-resident efficiency fields (for
     controlled reruns; keep the host otherwise idle — 1-core box, any
@@ -610,6 +666,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--probe-batch" in sys.argv:
         probe_conv_batching()
+        sys.exit(0)
+    if "--probe-traingeo" in sys.argv:
+        probe_train_geometry()
         sys.exit(0)
     if "--overlap" in sys.argv:
         overlap_experiment()

@@ -9,6 +9,11 @@ program over batched chips.
 """
 
 from satellite_computervision_tpu.inference.tiles import TiledInferenceEngine
+from satellite_computervision_tpu.inference.tune import (
+    GeometryTiming,
+    candidate_geometries,
+    tune_engine_geometry,
+)
 from satellite_computervision_tpu.inference.mixer import (
     MixerInfo,
     read_mixer,
@@ -21,6 +26,9 @@ from satellite_computervision_tpu.inference.writers import (
 
 __all__ = [
     "TiledInferenceEngine",
+    "GeometryTiming",
+    "candidate_geometries",
+    "tune_engine_geometry",
     "MixerInfo",
     "read_mixer",
     "reassemble_patches",

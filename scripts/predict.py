@@ -84,6 +84,12 @@ def main(argv=None):
                     "~2x the 256-kernel grid's scene throughput")
     ap.add_argument("--buffer", type=int, default=None,
                     help="engine chip context buffer (default: the config's)")
+    ap.add_argument("--tune", action="store_true",
+                    help="scene mode: measure candidate chip geometries on "
+                    "the device first and serve the fastest "
+                    "(inference.tune_engine_geometry; ~2x on v5e vs the "
+                    "k256 reference geometry). Overrides --kernel/--buffer/"
+                    "--tile-mode")
     ap.add_argument("--blend", choices=["overwrite", "hann"], default="hann")
     ap.add_argument("--tile-mode", choices=["chips", "whole"], default="chips",
                     help="whole = one fully-convolutional forward over the "
@@ -149,13 +155,26 @@ def main(argv=None):
         scene = np.load(args.input)
         if scene.ndim == 2:
             scene = scene[..., None]
-        engine = TiledInferenceEngine(
-            predict, kernel=args.kernel or cfg.kernel_size,
-            buffer=args.buffer if args.buffer is not None else cfg.kernel_buffer,
-            batch_size=args.batch_size, out_channels=cfg.num_classes,
-            blend=args.blend, tile_mode=args.tile_mode, max_rows=args.max_rows,
-            output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
-        )
+        out_transform = (lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None
+        if args.tune:
+            from satellite_computervision_tpu.inference import tune_engine_geometry
+
+            print("tuning chip geometry on device:")
+            engine, rows = tune_engine_geometry(
+                predict, scene.shape, scene.dtype,
+                out_channels=cfg.num_classes, blend=args.blend,
+                batch_size=args.batch_size, output_transform=out_transform,
+                scene=scene, verbose=print,
+            )
+            print(f"serving with {rows[0].label()} ({rows[0].ms:.1f} ms/scene)")
+        else:
+            engine = TiledInferenceEngine(
+                predict, kernel=args.kernel or cfg.kernel_size,
+                buffer=args.buffer if args.buffer is not None else cfg.kernel_buffer,
+                batch_size=args.batch_size, out_channels=cfg.num_classes,
+                blend=args.blend, tile_mode=args.tile_mode, max_rows=args.max_rows,
+                output_transform=out_transform,
+            )
         pred = np.asarray(engine.predict_scene(scene))
         out = args.output or "prediction.tif"
         writer = write_cog if args.cog else write_geotiff

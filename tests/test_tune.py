@@ -1,0 +1,104 @@
+"""Geometry auto-tuner (inference/tune.py).
+
+The reference pins one chip geometry per project
+(utils/prediction_tools.py:87-131); on TPU geometry is a measured
+serving-time choice. These tests run tiny scenes on the CPU mesh — the
+contract under test is candidate generation, measurement plumbing, and
+that every candidate engine computes the same function.
+"""
+
+import numpy as np
+import pytest
+
+from satellite_computervision_tpu.inference import (
+    GeometryTiming,
+    TiledInferenceEngine,
+    candidate_geometries,
+    tune_engine_geometry,
+)
+
+
+def _mean_model(chips):
+    return chips.mean(axis=-1, keepdims=True)
+
+
+def test_candidate_geometries_constraints():
+    cands = candidate_geometries((1920, 1920), chip_multiple=32)
+    assert cands, "expected candidates for a production-size scene"
+    for kernel, buffer in cands:
+        assert (kernel + buffer) % 32 == 0
+        assert buffer <= kernel
+        assert kernel <= 1920
+    # the measured v5e sweet spot must be in the default sweep
+    assert (512, 128) in cands and (512, 64) in cands
+
+
+def test_candidate_geometries_small_scene_fallback():
+    cands = candidate_geometries((96, 96), chip_multiple=32)
+    assert cands
+    for kernel, buffer in cands:
+        assert kernel <= 96
+        assert buffer % 2 == 0
+
+
+def test_tuner_returns_ranked_rows_and_working_engine(rng):
+    scene = rng.normal(size=(192, 192, 3)).astype(np.float32)
+    engine, rows = tune_engine_geometry(
+        _mean_model,
+        scene.shape,
+        np.float32,
+        candidates=[(64, 32), (96, 32), (64, 64)],
+        chip_multiple=32,
+        batch_size=4,
+        reps=1,
+        scene=scene,
+    )
+    # one row per candidate + the whole-scene mode (192 % 32 == 0)
+    assert len(rows) == 4
+    assert [r.ms for r in rows] == sorted(r.ms for r in rows)
+    assert isinstance(engine, TiledInferenceEngine)
+    # winner metadata matches the returned engine
+    best = rows[0]
+    if best.tile_mode == "whole":
+        assert engine.tile_mode == "whole"
+    else:
+        assert (engine.kernel, engine.buffer) == (best.kernel, best.buffer)
+    # per-pixel model: every geometry computes the identity function, so
+    # the tuned engine must reproduce the scene mean everywhere
+    got = np.asarray(engine.predict_scene(scene))
+    np.testing.assert_allclose(
+        got[..., 0], scene.mean(-1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tuner_candidates_all_compute_same_function(rng):
+    """Geometry must be a pure serving choice: for a per-pixel (hence
+    fully convolutional) model, all candidate engines agree exactly."""
+    scene = rng.normal(size=(128, 160, 2)).astype(np.float32)
+    want = scene.mean(-1)
+    for kernel, buffer in [(32, 32), (64, 32), (96, 32)]:
+        engine = TiledInferenceEngine(
+            _mean_model, kernel=kernel, buffer=buffer, batch_size=4,
+            out_channels=1, blend="hann", index_mode="grid",
+        )
+        got = np.asarray(engine.predict_scene(scene))
+        np.testing.assert_allclose(got[..., 0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_tuner_skips_whole_mode_on_unaligned_scene(rng):
+    scene = rng.normal(size=(100, 100, 1)).astype(np.float32)
+    _, rows = tune_engine_geometry(
+        _mean_model,
+        scene.shape,
+        np.float32,
+        candidates=[(32, 16)],
+        chip_multiple=32,
+        batch_size=2,
+        reps=1,
+    )
+    assert all(r.tile_mode == "chips" for r in rows)
+
+
+def test_geometry_timing_labels():
+    assert GeometryTiming(512, 128, "chips", 1.0).label() == "k512+b128"
+    assert GeometryTiming(1920, 0, "whole", 1.0).label() == "whole-scene"
