@@ -143,6 +143,13 @@ def _timed_scalar(jitted, *args, reps=5):
     return best
 
 
+def _sub_floor(t, floor):
+    """Subtract the readback floor, clamped away from zero: very fast
+    programs can measure under the floor (link jitter), and a negative or
+    zero time would print absurd ms / infinite MFU."""
+    return max(t - floor, 1e-9)
+
+
 def _flops_of(jitted, *args):
     try:
         analysis = jitted.lower(*args).compile().cost_analysis()
@@ -509,7 +516,7 @@ def probe_layout():
                 y = jax.nn.relu(conv(y, k2))
                 return y.astype(jnp.float32).sum()
 
-            t = _timed_scalar(jax.jit(stack), x) - floor
+            t = _sub_floor(_timed_scalar(jax.jit(stack), x), floor)
             flops = 2 * 9 * h * h * (cin * cout + cout * cout)
             print(f"{h}^2 {cin}->{cout}->{cout} {layout}: {t*1e3:7.1f} ms "
                   f"({flops / t / PEAK_FLOPS * 100:.1f}% MFU)", flush=True)
@@ -547,7 +554,7 @@ def probe_s2d_conv():
         x = jnp.asarray(rng.normal(size=xshape).astype(np.float32), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=kshape) * 0.1, jnp.bfloat16)
         f = jax.jit(lambda x, k=k: jax.nn.relu(conv(x, k)).astype(jnp.float32).sum())
-        t = _timed_scalar(f, x) - floor
+        t = _sub_floor(_timed_scalar(f, x), floor)
         flops = (2 * kshape[0] * kshape[1] * kshape[2] * kshape[3]
                  * xshape[1] * xshape[2])
         print(f"{name}: {t*1e3:7.2f} ms ({flops / t / PEAK_FLOPS * 100:.1f}% MFU)",
@@ -582,7 +589,7 @@ def probe_conv_batching():
         k = jnp.asarray(rng.normal(size=(3, 3, xshape[-1], xshape[-1])) * 0.1,
                         jnp.bfloat16)
         f = jax.jit(lambda x, k=k: jax.nn.relu(conv(x, k)).astype(jnp.float32).sum())
-        t = _timed_scalar(f, x) - floor
+        t = _sub_floor(_timed_scalar(f, x), floor)
         flops = 2 * 9 * xshape[0] * xshape[1] * xshape[2] * xshape[3] * xshape[3]
         print(f"{name}: {t*1e3:7.2f} ms ({flops / t / PEAK_FLOPS * 100:.1f}% MFU)",
               flush=True)
@@ -636,7 +643,7 @@ def probe_train_geometry():
         except Exception as e:  # OOM at the big splits is a result too
             print(f"b{batch} {tile}^2: FAILED ({type(e).__name__})", flush=True)
             continue
-        t = best - floor
+        t = _sub_floor(best, floor)
         flops = _flops_of(step, state, (x, y))
         mpix = batch * tile * tile / t / 1e6
         print(f"b{batch} {tile}^2: {t*1e3:7.1f} ms  "

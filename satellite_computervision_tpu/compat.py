@@ -234,28 +234,43 @@ from satellite_computervision_tpu.ops.chips import (  # noqa: F401
 )
 
 
-_PREDICT_ENGINES: dict = {}
+import collections as _collections
+
+# Bounded LRU of engines: an unbounded dict keyed on the predict-fn object
+# would retain every engine (and its compiled programs) forever, and a
+# caller passing a fresh lambda per call would grow it without limit.
+_PREDICT_ENGINES: "_collections.OrderedDict" = _collections.OrderedDict()
+_PREDICT_ENGINES_MAX = 8
 
 
-def predict_chips(arr, chip_indices, template, m, kernel=256, buff=128):
+def predict_chips(arr, chip_indices, template, m, kernel=256, buff=128,
+                  cache_key=None):
     """prediction_tools.py:133 — use TiledInferenceEngine: the whole loop
     runs as one compiled program. ``m`` is a chip-batch predict fn.
 
-    Engines are cached per (predict fn, geometry): on this toolchain a
-    fresh engine means a minutes-long recompile per call, so repeated
-    calls with the same model and chip geometry must reuse one engine
-    (and its compiled per-shape programs)."""
+    Engines are cached per (predict fn, geometry) in a small LRU: on this
+    toolchain a fresh engine means a minutes-long recompile per call, so
+    repeated calls with the same model and chip geometry must reuse one
+    engine (and its compiled per-shape programs). Callers that build a
+    fresh lambda per call should pass a stable ``cache_key`` (any hashable
+    identifying the model) so the lambda's identity doesn't defeat the
+    cache."""
     from satellite_computervision_tpu.inference import TiledInferenceEngine
 
     out_channels = template.shape[-1] if template.ndim == 3 else 1
-    key = (m, kernel, buff, out_channels)
+    key = (cache_key if cache_key is not None else m, kernel, buff, out_channels)
     engine = _PREDICT_ENGINES.get(key)
     if engine is None:
-        engine = _PREDICT_ENGINES[key] = TiledInferenceEngine(
+        engine = TiledInferenceEngine(
             m, kernel=kernel, buffer=buff, batch_size=16,
             out_channels=out_channels,
             blend="sum", index_mode="reference",
         )
+        _PREDICT_ENGINES[key] = engine
+        while len(_PREDICT_ENGINES) > _PREDICT_ENGINES_MAX:
+            _PREDICT_ENGINES.popitem(last=False)
+    else:
+        _PREDICT_ENGINES.move_to_end(key)
     return engine.predict_scene(arr)
 
 
@@ -317,7 +332,9 @@ from satellite_computervision_tpu.cloud.calibration import (  # noqa: F401
     scene_median,          # calibration.py:47
     overlap_mask as get_overlap,  # calibration.py:64
     histogram_cdf as hist_to_FC,  # calibration.py:78
-    equalize_scene as equalize,   # calibration.py:136
+    make_FC,               # calibration.py:105 (per-band (bucket_means, cdf) list)
+    equalize_scene as equalize,   # calibration.py:136 (exact CDF-interp form)
+    equalize_rf,           # calibration.py:136 (the shipped chained-RF form)
     equalize_collection,   # calibration.py:184
 )
 

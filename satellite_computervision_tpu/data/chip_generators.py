@@ -330,8 +330,20 @@ class LSTMChipDataset(_BaseChipDataset):
             rearranged, _ = rearrange_timeseries(normalized, self._rng)
             feats, labels = split_timeseries(rearranged, self.n_channels)
             if not np.any(labels.sum(axis=(1, 2, 3)) == 0.0):
-                break
-        return feats, labels
+                return feats, labels
+        # The reference silently yields the last draw here even when a
+        # label is still all-zero (utils/processing.py:944-960) — a series
+        # that is empty at EVERY rotation cannot produce a valid next-step
+        # target, and training on a silent zero label corrupts the loss.
+        # Fail explicitly (package doctrine: skipped batches raise or
+        # filter explicitly, module docstring above).
+        empty = [int(k) for k, s in
+                 zip(idxs, labels.sum(axis=(1, 2, 3))) if s == 0.0]
+        raise ValueError(
+            "all-empty next-step labels after 8 sequence rotations for "
+            f"series files {[self.files[k] for k in empty]}; drop these "
+            "series (every timestep is zero) or pass to_fit=False"
+        )
 
 
 class LSTMAutoencoderChipDataset(LSTMChipDataset):

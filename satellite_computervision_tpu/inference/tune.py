@@ -41,7 +41,8 @@ from satellite_computervision_tpu.inference.tiles import TiledInferenceEngine
 @dataclass
 class GeometryTiming:
     """One measured candidate. ``tile_mode='whole'`` rows have kernel =
-    the scene side and buffer = 0."""
+    ``max(h, w)`` of the tuned scene (the long side; there is no chip
+    kernel in whole mode) and buffer = 0."""
 
     kernel: int
     buffer: int
@@ -116,7 +117,8 @@ def tune_engine_geometry(
     output_transform: Optional[Callable] = None,
     reps: int = 3,
     scene=None,
-    verbose: Callable = None,
+    max_rows: Optional[int] = None,
+    verbose: Optional[Callable] = None,
 ) -> Tuple[TiledInferenceEngine, List[GeometryTiming]]:
     """Measure candidate chip geometries and return (best_engine, table).
 
@@ -124,9 +126,20 @@ def tune_engine_geometry(
     its receptive field): only then is geometry a pure serving choice.
     ``scene`` optionally supplies representative pixels (timings do not
     depend on values, so synthetic zeros are used when omitted).
-    ``verbose`` (e.g. ``print``) logs each row as it lands.
+    ``max_rows`` bounds device memory exactly as on the engine: scenes
+    taller than it stream in full-width bands. Tuning then measures one
+    representative band (the banded program's unit of work) rather than
+    the full scene — which could not fit on device, that being the reason
+    to band — and every returned engine carries ``max_rows`` so the
+    winner streams at serve time. ``verbose`` (e.g. ``print``) logs each
+    row as it lands.
     """
     h, w, c = scene_shape
+    if max_rows is not None and h > max_rows:
+        h = max_rows
+        scene_shape = (h, w, c)
+        if scene is not None:
+            scene = np.asarray(scene)[:h]
     if candidates is None:
         candidates = candidate_geometries((h, w), chip_multiple=chip_multiple)
     if scene is None:
@@ -147,6 +160,7 @@ def tune_engine_geometry(
             preprocess_fn=preprocess_fn,
             output_transform=output_transform,
             whole_multiple=chip_multiple,
+            max_rows=max_rows,
             **kwargs,
         )
 

@@ -106,7 +106,13 @@ def _broadcast_meta(meta: Dict[str, Any]) -> Dict[str, Any]:
 
     raw = json.dumps(meta).encode() if jax.process_index() == 0 else b""
     if len(raw) > _META_BUF - 4:
-        raise ValueError(f"checkpoint meta exceeds {_META_BUF - 4} bytes")
+        # raising here (process 0 only) would leave the other hosts inside
+        # broadcast_one_to_all and deadlock the collective — degrade to the
+        # step field plus a truncation flag, which always fits, so every
+        # host completes the broadcast and sees the same (flagged) meta
+        raw = json.dumps(
+            {"step": meta.get("step", 0), "meta_truncated": True}
+        ).encode()
     buf = np.zeros(_META_BUF, np.uint8)
     buf[:4] = np.frombuffer(len(raw).to_bytes(4, "little"), np.uint8)
     buf[4 : 4 + len(raw)] = np.frombuffer(raw, np.uint8)

@@ -89,7 +89,8 @@ def main(argv=None):
                     "the device first and serve the fastest "
                     "(inference.tune_engine_geometry; ~2x on v5e vs the "
                     "k256 reference geometry). Overrides --kernel/--buffer/"
-                    "--tile-mode")
+                    "--tile-mode; honors --max-rows (tall scenes tune on "
+                    "one band and serve banded)")
     ap.add_argument("--blend", choices=["overwrite", "hann"], default="hann")
     ap.add_argument("--tile-mode", choices=["chips", "whole"], default="chips",
                     help="whole = one fully-convolutional forward over the "
@@ -164,7 +165,7 @@ def main(argv=None):
                 predict, scene.shape, scene.dtype,
                 out_channels=cfg.num_classes, blend=args.blend,
                 batch_size=args.batch_size, output_transform=out_transform,
-                scene=scene, verbose=print,
+                scene=scene, max_rows=args.max_rows, verbose=print,
             )
             print(f"serving with {rows[0].label()} ({rows[0].ms:.1f} ms/scene)")
         else:

@@ -156,6 +156,27 @@ def test_lstm_autoencoder_dataset(tmp_path, rng):
     assert weights[1].shape == y.shape
 
 
+def test_lstm_chip_dataset_all_empty_labels_raise(tmp_path):
+    # a series that is zero at EVERY timestep can never yield a valid
+    # next-step label — after the 8 rotation retries the dataset must
+    # raise, not silently train on an all-zero target (the reference
+    # falls through silently, utils/processing.py:944-960)
+    files = []
+    for i in range(2):
+        f = tmp_path / f"ts_ts_{i + 1}_{i}.npy"
+        np.save(f, np.zeros((6, 3, DIM, DIM), np.float32))
+        files.append(str(f))
+    ds = LSTMChipDataset(files, batch_size=2, dim=(DIM, DIM), n_channels=3,
+                         n_timesteps=6, seed=0)
+    with pytest.raises(ValueError, match="all-empty next-step labels"):
+        ds[0]
+    # to_fit=False (inference) still serves the raw series
+    ds_infer = LSTMChipDataset(files, batch_size=2, dim=(DIM, DIM),
+                               n_channels=3, n_timesteps=6, seed=0,
+                               to_fit=False)
+    assert ds_infer[0].shape == (2, 6, DIM, DIM, 3)
+
+
 def test_rearrange_and_split():
     rng = np.random.default_rng(0)
     batch = rng.normal(size=(2, 5, 4, 4, 3)).astype(np.float32)

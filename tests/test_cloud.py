@@ -101,6 +101,54 @@ def test_equalize_collection_chains(rng):
     assert abs(out[2].mean() - out[1].mean()) < 10.0
 
 
+def test_make_FC_per_band_cdfs(rng):
+    img = rng.normal(100, 10, (32, 32, 3)).astype(np.float32)
+    fc = calibration.make_FC(img, n_bins=64)
+    assert len(fc) == 3
+    for centers, cdf in fc:
+        assert centers.shape == cdf.shape == (64,)
+        assert np.all(np.diff(cdf) >= 0) and abs(cdf[-1] - 1.0) < 1e-9
+    # AOI-masked FC only sees overlap pixels
+    mask = np.zeros((32, 32), bool)
+    mask[:8] = True
+    fc_aoi = calibration.make_FC(img + 500 * (~mask[..., None]), mask, n_bins=64)
+    assert fc_aoi[0][0].max() < 200  # the +500 region is outside the AOI
+
+
+def test_equalize_rf_vs_cdf_interp_ab(rng):
+    """A/B: the exact CDF-interp equalize vs the reference's chained-RF
+    form (utils/calibration.py:136-182) on realistic S2-like histograms
+    — bimodal reflectance DNs with a gain/offset shift between scenes.
+    The deviation between the two is the RF's approximation error of the
+    same DN->cdf->DN map; the exact form must match the template's
+    distribution at least as well. Measured numbers recorded in
+    PARITY.md's calibration row."""
+    # bimodal (vegetation + soil modes) template; source = template under
+    # a radiometric gain/offset + its own sampling noise
+    modes = rng.choice([0, 1], 4096, p=[0.6, 0.4])
+    tpl = np.where(modes == 0, rng.normal(1200, 150, 4096),
+                   rng.normal(2600, 300, 4096)).astype(np.float32)
+    src = (tpl * 1.18 + 140 + rng.normal(0, 60, 4096)).astype(np.float32)
+    src, tpl = src.reshape(64, 64, 1), tpl.reshape(64, 64, 1)
+
+    exact = calibration.equalize_scene(src, tpl, n_bins=256)
+    rf = calibration.equalize_rf(src, tpl, n_bins=256, n_trees=25, seed=1)
+
+    # both land near the template's distribution; quantify the deviation
+    dev = float(np.abs(exact - rf).mean())
+    spread = float(tpl.max() - tpl.min())
+    assert dev / spread < 0.05, f"RF deviates {dev:.1f} DN from exact"
+
+    # the exact form is at least as good a distribution match (per-decile
+    # quantile error vs the template)
+    qs = np.linspace(5, 95, 19)
+
+    def qerr(x):
+        return float(np.abs(np.percentile(x, qs) - np.percentile(tpl, qs)).mean())
+
+    assert qerr(exact) <= qerr(rf) + 1e-6, (qerr(exact), qerr(rf))
+
+
 def test_scene_median_nan_aware():
     img = np.array([[[1.0], [np.nan]], [[3.0], [5.0]]], np.float32)
     np.testing.assert_allclose(calibration.scene_median(img), [3.0])
