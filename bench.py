@@ -16,6 +16,14 @@ reference pattern ships float32 per-chip with a host round-trip per chip.
 Prints ONE JSON line:
   {"metric": ..., "value": MPix/s (ours, steady multi-scene), "unit":
    "MPix/s", "vs_baseline": ours / reference-pattern}
+plus device-resident fields (whole/tuned/S2D ms + MFU + MPix/s, train
+step) and the on-chip apples-to-apples ratio the relay link cannot
+pollute: ``vs_baseline_device`` = reference-pattern device time (batch-1
+float32 per-chip forwards over the same scene) / the production fast
+path's device time, with ``vs_baseline_device_tuned`` for the
+reference-identical network under the tuned chip geometry. The wire-bound
+``vs_baseline`` headline is retained for honesty: this relay link
+saturates at ~5-6x regardless of compute (README perf notes).
 """
 
 import json
@@ -183,7 +191,7 @@ def device_metrics(model, variables, scene_u16):
         )
         impl = whole._build((SCENE, SCENE, BANDS), staged.dtype)
         run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-        t = _timed_scalar(run, staged) - floor
+        t = _sub_floor(_timed_scalar(run, staged), floor)
         out[f"whole_ms{tag}"] = round(t * 1e3, 1)
         if tag == "_fold":
             flops = _flops_of(jax.jit(impl), staged)
@@ -199,7 +207,8 @@ def device_metrics(model, variables, scene_u16):
         )
         impl = hann._build((SCENE, SCENE, BANDS), staged.dtype)
         run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-        out[f"hann_ms{tag}"] = round((_timed_scalar(run, staged) - floor) * 1e3, 1)
+        out[f"hann_ms{tag}"] = round(
+            _sub_floor(_timed_scalar(run, staged), floor) * 1e3, 1)
 
     # tuned geometry (r3 probes): XLA's conv efficiency peaks around
     # batch-16 x ~600^2 chips — kernel 512 + the same 128 buffer covers
@@ -212,10 +221,100 @@ def device_metrics(model, variables, scene_u16):
     )
     impl = tuned._build((SCENE, SCENE, BANDS), staged.dtype)
     run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-    t = _timed_scalar(run, staged) - floor
+    t = _sub_floor(_timed_scalar(run, staged), floor)
     out["hann_tuned_ms"] = round(t * 1e3, 1)
     flops = _flops_of(jax.jit(impl), staged)
     out["mfu_tuned"] = round(flops / t / PEAK_FLOPS, 3)
+    mpix = SCENE * SCENE / 1e6
+    out["mpix_device_tuned"] = round(mpix / t, 1)
+
+    # S2D production fast path: the space-to-depth solar variant (equal
+    # quality — IoU 0.9950 vs 0.9947 plain, runs/solar_convergence_s2d.
+    # jsonl) folds 2x2 pixels into channels before the trunk, quadrupling
+    # MXU lane occupancy at the shallow levels; composed with whole-scene
+    # mode it is the fastest serving config on this chip.
+    s2d_model = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.bfloat16, space_to_depth=True,
+    )
+    s2d_vars = s2d_model.init(
+        jax.random.key(1), jnp.zeros((1, KERNEL + BUFFER, KERNEL + BUFFER, BANDS))
+    )
+    s2d_predict = build_folded_predict(s2d_model, s2d_vars)
+    s2d_whole = TiledInferenceEngine(
+        s2d_predict, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+        out_channels=1, tile_mode="whole", whole_multiple=64,
+        preprocess_fn=pre, output_transform=post,
+    )
+    impl = s2d_whole._build((SCENE, SCENE, BANDS), staged.dtype)
+    run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+    t_s2d = _sub_floor(_timed_scalar(run, staged), floor)
+    out["s2d_whole_ms"] = round(t_s2d * 1e3, 1)
+    out["mpix_s2d"] = round(mpix / t_s2d, 1)
+    flops = _flops_of(jax.jit(impl), staged)
+    out["mfu_s2d"] = round(flops / t_s2d / PEAK_FLOPS, 3)
+
+    # Reference-pattern DEVICE time on the same scene: float32 batch-1
+    # forwards, one per 384^2 chip (utils/prediction_tools.py:133-156
+    # runs Keras float32 model.predict per chip). Measured as ALL chip
+    # programs dispatched back-to-back with ONE final sync — the device
+    # executes every small program while launch overhead pipelines to
+    # ~zero, and the total (~80 ms) dwarfs the relay's ~27 ms readback
+    # floor's jitter, unlike any few-chip extrapolation (a single 384^2
+    # forward is ~2.3 ms, far under the floor; r4's 6-chip extrapolation
+    # measured anywhere from 37 to 84 ms run-to-run). --probe-ref-device
+    # cross-checks this against a 6-chip unrolled single program (84.2 vs
+    # 81.4 ms, r4). This measurement deliberately EXCLUDES the reference
+    # loop's per-chip synchronous host round trips; those are measured
+    # separately below as ref_syncloop_ms (its numpy stitching forces one
+    # sync per chip — utils/prediction_tools.py:146-153 appends
+    # model.predict results into a host list).
+    f32_model = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.float32,
+    )
+    idx = generate_chip_indices(SCENE, SCENE, KERNEL, BUFFER, mode="reference")
+    side, halfb = KERNEL + BUFFER, BUFFER // 2
+    scene_f = (staged.astype(jnp.float32) / 10000.0)
+    chips_dev = [
+        jax.device_put(
+            jax.lax.dynamic_slice(scene_f, (y - halfb, x - halfb, 0),
+                                  (side, side, BANDS)))
+        for (y, x) in idx
+    ]
+    ref1 = jax.jit(lambda c: f32_model.apply(variables, c[None])["probs"])
+    np.asarray(ref1(chips_dev[0]).sum())  # warm the compile
+    t_ref = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [ref1(c) for c in chips_dev]
+        np.asarray(sum(o.sum() for o in outs))
+        t_ref = min(t_ref, time.perf_counter() - t0)
+    t_ref = _sub_floor(t_ref, floor)
+    out["ref_device_ms"] = round(t_ref * 1e3, 1)
+    # device-time ratios: production fast path (S2D whole; equal quality,
+    # runs/solar_convergence_s2d.jsonl) and the reference-identical
+    # network under the tuned chip geometry. These are pure on-chip
+    # compute ratios — the floor of the true advantage, bounded by the
+    # FLOP/precision/redundancy gap alone (~2.25x overlap redundancy x
+    # bf16; see ROADMAP's r4 decision record), NOT a 10x-class number.
+    out["vs_baseline_device"] = round(t_ref / t_s2d, 1)
+    out["vs_baseline_device_tuned"] = round(t_ref / t, 1)
+
+    # The reference loop AS IT ACTUALLY RUNS: one synchronous host round
+    # trip per chip (predict -> numpy append, utils/prediction_tools.py:
+    # 146-153). This is architecture, not wire: every per-chip sync stalls
+    # the device on the host regardless of link speed. vs_refloop is the
+    # engine's end-to-end advantage over that pattern on identical
+    # hardware — the number the one-compiled-program design exists for.
+    t_sync = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for c in chips_dev:
+            np.asarray(ref1(c))
+        t_sync = min(t_sync, time.perf_counter() - t0)
+    out["ref_syncloop_ms"] = round(t_sync * 1e3, 1)
+    out["vs_refloop"] = round(t_sync / t_s2d, 1)
 
     # the solar train step (README config: batch 16, 256^2, 6 bands, bf16)
     from satellite_computervision_tpu.models.losses import weighted_bce
@@ -651,6 +750,89 @@ def probe_train_geometry():
               flush=True)
 
 
+def probe_ref_device():
+    """--probe-ref-device: pin down the reference pattern's DEVICE cost
+    (batch-1 float32 per-chip forwards, utils/prediction_tools.py:133-156)
+    three ways, to pick an honest `ref_device_ms` for the JSON:
+
+    a) one jitted program of R unrolled batch-1 forwards (pure compute,
+       floor paid once — the per-chip readback floor on this relay dwarfs
+       a single 384^2 forward, so single-chip timing is noise);
+    b) 36 separate batch-1 programs dispatched back-to-back with ONE
+       final sync (their per-program launch pattern with the wire
+       overlapped — the device still executes 36 small programs);
+    c) the same 36 dispatches with a per-chip host sync — the loop as the
+       reference actually runs it (wire-dominated here; for context).
+    """
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
+    model, _variables = build_model()
+    variables = _variables
+    staged = jax.device_put(jnp.asarray(scene))
+    floor_fn = jax.jit(lambda s: s[0, 0, 0].astype(jnp.float32) * 2)
+    floor = _timed_scalar(floor_fn, staged)
+    print(f"readback floor: {floor*1e3:.1f} ms", flush=True)
+
+    f32_model = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.float32,
+    )
+    idx = generate_chip_indices(SCENE, SCENE, KERNEL, BUFFER, mode="reference")
+    side = KERNEL + BUFFER
+    half = BUFFER // 2
+    n = len(idx)
+
+    # (a) unrolled R-chip program: per-chip pure compute
+    R = 6
+    scene_f = jnp.asarray(scene.astype(np.float32) / 10000.0)
+    chips6 = jnp.stack([
+        scene_f[y - half : y + KERNEL + half, x - half : x + KERNEL + half]
+        for (y, x) in idx[:R]
+    ])
+
+    def six(chips):
+        acc = jnp.float32(0)
+        for i in range(R):
+            acc += f32_model.apply(variables, chips[i][None])["probs"] \
+                .astype(jnp.float32).sum()
+        return acc
+
+    j6 = jax.jit(six)
+    t6 = _sub_floor(_timed_scalar(j6, chips6), floor)
+    flops6 = _flops_of(j6, chips6)
+    per_chip = t6 / R
+    print(f"(a) {R}-chip unrolled: {t6*1e3:.1f} ms -> {per_chip*1e3:.2f} "
+          f"ms/chip ({flops6 / t6 / PEAK_FLOPS * 100:.1f}% of bf16 peak), "
+          f"x{n} = {per_chip*n*1e3:.1f} ms", flush=True)
+
+    # (b) 36 programs, async dispatch, one sync
+    ref1 = jax.jit(lambda c: f32_model.apply(variables, c[None])["probs"])
+    chips_all = [
+        scene_f[y - half : y + KERNEL + half, x - half : x + KERNEL + half]
+        for (y, x) in idx
+    ]
+    chips_dev = [jax.device_put(c) for c in chips_all]
+    outs = [ref1(c) for c in chips_dev]  # warm once
+    np.asarray(outs[-1].sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [ref1(c) for c in chips_dev]
+        np.asarray(sum(o.sum() for o in outs))
+        best = min(best, time.perf_counter() - t0)
+    tb = _sub_floor(best, floor)
+    print(f"(b) 36 async programs + 1 sync: {tb*1e3:.1f} ms", flush=True)
+
+    # (c) per-chip sync (the reference's actual loop; wire-bound here)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for c in chips_dev:
+            np.asarray(ref1(c))
+        best = min(best, time.perf_counter() - t0)
+    print(f"(c) 36 sync round trips: {best*1e3:.1f} ms", flush=True)
+
+
 def device_metrics_only():
     """--device-metrics: just the device-resident efficiency fields (for
     controlled reruns; keep the host otherwise idle — 1-core box, any
@@ -664,6 +846,9 @@ def device_metrics_only():
 if __name__ == "__main__":
     if "--device-metrics" in sys.argv:
         device_metrics_only()
+        sys.exit(0)
+    if "--probe-ref-device" in sys.argv:
+        probe_ref_device()
         sys.exit(0)
     if "--probe-layout" in sys.argv:
         probe_layout()

@@ -10,6 +10,17 @@ array math, train for the short demo fit, inference for the scene pass,
 geo for the export. Synthetic items stand in for STAC assets (no egress).
 """
 
+
+# allow `python examples/<name>.py` from anywhere: put the repo root (the
+# package home) and this directory (convergence_common) on sys.path
+import os as _os
+import sys as _sys
+
+_here = _os.path.dirname(_os.path.abspath(__file__))
+for _p in (_os.path.dirname(_here), _here):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
 import argparse
 import json
 import tempfile

@@ -59,6 +59,25 @@ def binary_metrics(cm) -> dict:
     return {"iou": iou, "f1": f1, "precision": prec, "recall": rec, "accuracy": acc}
 
 
+def multiclass_metrics(cm, class_names=None) -> dict:
+    """Per-class IoU + mean IoU + accuracy from an (C, C) confusion
+    matrix (rows = truth). ``iou`` aliases ``mean_iou`` so the shared
+    best-epoch tracking works unchanged."""
+    cm = np.asarray(cm, np.float64)
+    tp = np.diag(cm)
+    fp = cm.sum(axis=0) - tp
+    fn = cm.sum(axis=1) - tp
+    iou = tp / np.maximum(tp + fp + fn, 1)
+    names = class_names or [f"c{i}" for i in range(cm.shape[0])]
+    out = {
+        "iou": float(iou.mean()),
+        "mean_iou": float(iou.mean()),
+        "accuracy": float(tp.sum() / max(cm.sum(), 1)),
+    }
+    out.update({f"iou_{n}": float(v) for n, v in zip(names, iou)})
+    return out
+
+
 def run_convergence(
     state,
     train_step,
@@ -67,10 +86,14 @@ def run_convergence(
     args,
     log,
     extra_record=None,
+    num_classes=2,
+    metrics_fn=None,
 ):
     """The shared epoch loop: train (device-side loss accumulation — one
     host sync per epoch), eval to a confusion matrix, JSONL record per
-    epoch, best-epoch tracking. Returns (state, best: dict)."""
+    epoch, best-epoch tracking (on ``metrics_fn``'s ``iou`` key — mean
+    IoU for :func:`multiclass_metrics`). Returns (state, best: dict)."""
+    metrics_fn = metrics_fn or binary_metrics
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed + 1)
     best = None
@@ -85,7 +108,7 @@ def run_convergence(
             steps += 1
         tloss = float(tloss) if steps else 0.0
 
-        cm = np.zeros((2, 2), np.float64)
+        cm = np.zeros((num_classes, num_classes), np.float64)
         eloss, esteps = None, 0
         for x, y in chip_batches(make_chip, "eval", args.eval_size,
                                  args.batch_size, rng, shuffle=False):
@@ -95,7 +118,7 @@ def run_convergence(
             esteps += 1
         eloss = float(eloss) if esteps else 0.0
 
-        m = binary_metrics(cm)
+        m = metrics_fn(cm)
         rec = {
             "epoch": epoch,
             "train_loss": tloss / max(steps, 1),

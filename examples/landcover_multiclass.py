@@ -9,6 +9,17 @@ make_confusion_matrix tooling, utils/model_tools.py:1053-1126).
 Usage: python examples/landcover_multiclass.py [--steps N]
 """
 
+
+# allow `python examples/<name>.py` from anywhere: put the repo root (the
+# package home) and this directory (convergence_common) on sys.path
+import os as _os
+import sys as _sys
+
+_here = _os.path.dirname(_os.path.abspath(__file__))
+for _p in (_os.path.dirname(_here), _here):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
 import argparse
 import time
 

@@ -28,6 +28,17 @@ Usage (full run ~= 25 min on the tunnel v5e at --train-size 1540):
   python examples/solar_convergence.py ... --space-to-depth   # S2D variant
 """
 
+
+# allow `python examples/<name>.py` from anywhere: put the repo root (the
+# package home) and this directory (convergence_common) on sys.path
+import os as _os
+import sys as _sys
+
+_here = _os.path.dirname(_os.path.abspath(__file__))
+for _p in (_os.path.dirname(_here), _here):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
 import argparse
 import json
 

@@ -135,15 +135,43 @@ class TiledInferenceEngine:
     # ------------------------------------------------------------------
     @classmethod
     def from_model(cls, model, variables, output_key: str = "probs",
-                   fold_bn: bool = True, **kwargs):
+                   fold_bn: bool = True, geometry=None, tune_table=None,
+                   **kwargs):
         """Build an engine over a flax model's forward.
 
         For a ``models.UNet`` with batch statistics, ``fold_bn=True``
         (default) serves the BN-folded program (models/fold.py) —
         numerically identical to eval-mode BN with the BN ops compiled
         out. Other model families serve live eval-mode BN.
+
+        ``geometry`` picks the serving chip geometry:
+        - ``None`` (default): the explicit ``kernel``/``buffer`` kwargs;
+        - ``(kernel, buffer)``: set both directly;
+        - ``"tuned"``: consult the cached tune table at ``tune_table`` (a
+          path written by ``inference.tune.save_tune_table``, by
+          convention next to the checkpoint) and serve its measured best
+          row — chip grid or whole-scene. Falls back to the explicit
+          kwargs when the table file does not exist, so "tuned" is safe
+          to request unconditionally.
         """
         from satellite_computervision_tpu.models.unet import UNet
+
+        if geometry == "tuned":
+            import os
+
+            if tune_table is not None and os.path.exists(tune_table):
+                from satellite_computervision_tpu.inference.tune import (
+                    load_tune_table,
+                )
+
+                best = load_tune_table(tune_table)[0]
+                if best.tile_mode == "whole":
+                    kwargs["tile_mode"] = "whole"
+                else:
+                    kwargs["kernel"] = best.kernel
+                    kwargs["buffer"] = best.buffer
+        elif geometry is not None:
+            kwargs["kernel"], kwargs["buffer"] = geometry
 
         if fold_bn and isinstance(model, UNet) and not model.fold_bn \
                 and "batch_stats" in variables:

@@ -191,3 +191,27 @@ def tune_engine_geometry(
     rows.sort(key=lambda r: r.ms)
     best = rows[0]
     return engines[(best.kernel, best.buffer, best.tile_mode)], rows
+
+
+def save_tune_table(path, rows: Sequence[GeometryTiming]) -> None:
+    """Persist a measured geometry table (JSON) — next to the checkpoint
+    by convention, so one `predict --tune` run pins the serving geometry
+    for every later serve of that model (the reference re-hardcodes
+    256+128 everywhere instead, utils/prediction_tools.py:87-131)."""
+    import dataclasses
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump([dataclasses.asdict(r) for r in rows], f, indent=1)
+
+
+def load_tune_table(path) -> List[GeometryTiming]:
+    """Read a :func:`save_tune_table` file back, best row first."""
+    import json
+
+    with open(path) as f:
+        rows = [GeometryTiming(**d) for d in json.load(f)]
+    rows.sort(key=lambda r: r.ms)
+    return rows

@@ -108,14 +108,22 @@ def iou_loss(y_true, y_pred):
 
 
 def masked_mse(y_true, y_pred):
-    """MSE over the finite elements only (NaN-bearing regression targets).
+    """MSE over the finite-TARGET elements only (NaN-bearing regression
+    targets — cloud holes in a next-frame label).
 
-    Reference `mse_4d`, utils/model_tools.py:142-166.
+    Reference `mse_4d`, utils/model_tools.py:142-166 (a boolean_mask
+    gather over finite differences). Masking here is computed on the
+    target and the masked targets are replaced BEFORE the subtraction:
+    ``where`` after a NaN-producing op leaks NaN into the gradient
+    (d/d_pred of 0 * NaN = NaN), which silently NaNs every parameter on
+    the first train step. TF's boolean_mask gather never had the trap;
+    this formulation is its gradient-safe JAX equivalent and is
+    numerically identical for finite predictions.
     """
     y_true = jnp.asarray(y_true, jnp.float32)
     y_pred = jnp.asarray(y_pred, jnp.float32)
-    diff = jnp.square(y_pred - y_true)
-    finite = jnp.isfinite(diff)
+    finite = jnp.isfinite(y_true)
+    diff = jnp.square(y_pred - jnp.where(finite, y_true, 0.0))
     total = jnp.sum(jnp.where(finite, diff, 0.0))
     count = jnp.sum(finite)
     return total / jnp.maximum(count, 1)

@@ -36,6 +36,25 @@ class TrainConfig:
     family: str = "unet"
     # timeseries length for the ConvLSTM families (SURVEY §5: T ~= 6)
     n_time: int = 6
+    # Measured SERVING geometry (chip kernel/buffer/batch for inference).
+    # The reference hard-codes the training chip size into its predict
+    # loop (utils/prediction_tools.py:87-131, the 256+128 constant it
+    # never questions); geometry is a pure serving choice for a fully
+    # convolutional model, and the measured winner differs from the
+    # training geometry (inference/tune.py). None = fall back to the
+    # training kernel/buffer/batch.
+    serve_kernel: Optional[int] = None
+    serve_buffer: Optional[int] = None
+    serve_batch: Optional[int] = None
+
+    @property
+    def serving_geometry(self) -> Tuple[int, int, int]:
+        """(kernel, buffer, batch) the predict CLI serves by default."""
+        return (
+            self.serve_kernel or self.kernel_size,
+            self.serve_buffer if self.serve_buffer is not None else self.kernel_buffer,
+            self.serve_batch or self.batch_size,
+        )
 
     @property
     def steps_per_epoch(self) -> int:
@@ -64,6 +83,12 @@ SOLAR_CONFIG = TrainConfig(
     loss_kwargs={"pos_weight": 1.0},
     num_classes=1,
     threshold=0.9,
+    # measured on v5e (bench.py hann_tuned_ms / inference/tune.py): the
+    # k512+b128 batch-16 hann grid serves solar-class 1920^2 scenes ~2x
+    # faster on-device than the k256 training geometry
+    serve_kernel=512,
+    serve_buffer=128,
+    serve_batch=16,
 )
 
 # Parking-lot model on NAIP RGB (parking notebook cells 16, 39, 58).

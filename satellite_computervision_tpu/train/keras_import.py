@@ -105,6 +105,39 @@ def read_keras_h5_units(path_or_bytes):
     return result
 
 
+def infer_unet_arch(path_or_bytes) -> Dict[str, object]:
+    """Read a reference U-Net ``.h5`` and infer the constructor arguments
+    of the matching ``models.UNet`` — bands, per-level filters,
+    convs_per_block and n_classes — from the stored kernel shapes, so the
+    published-weights workflow (scripts/evaluate.py --h5) needs no
+    hand-supplied architecture. The reference hard-codes these in
+    notebook cells next to the weights (solar notebook cell 17;
+    utils/model_tools.py:417-454 builds from them)."""
+    layers = read_keras_h5_units(path_or_bytes)
+    enc_convs: List[List[np.ndarray]] = []
+    head_kernel = None
+    for lname, units in layers:
+        if not units:
+            continue
+        if any("conv_batch_act" in u.path for u in units) \
+                and not lname.startswith("conv_block"):
+            enc_convs.append([u.tensors["kernel"] for u in units if u.kind == "conv"])
+        elif units[-1].kind == "conv":
+            head_kernel = units[-1].tensors["kernel"]
+    if not enc_convs:
+        raise ValueError("no encoder blocks found — not a reference U-Net h5")
+    if head_kernel is None:
+        raise ValueError("no trailing head conv found")
+    filters = tuple(int(ks[-1].shape[-1]) for ks in enc_convs)
+    return {
+        "bands": int(enc_convs[0][0].shape[2]),
+        "filters": filters,
+        "factors": (2,) * len(filters),
+        "convs_per_block": len(enc_convs[0]),
+        "n_classes": int(head_kernel.shape[-1]),
+    }
+
+
 def _conv_params(u: _Unit) -> Dict[str, np.ndarray]:
     p = {"kernel": u.tensors["kernel"]}
     if "bias" in u.tensors:

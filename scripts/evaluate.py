@@ -9,6 +9,19 @@ rates, per-class precision/recall/IoU/F1 — as JSON.
 
   python scripts/evaluate.py --config solar --ckpt runs/solar \
       --eval 'data/eval-*.tfrecord' [--out report.json]
+
+Published-weights mode (--h5): score a reference-trained Keras model —
+e.g. the shipped solar weights (utils/model_tools.py:1204-1269 is the
+reference's load path) — directly against eval chips, one command:
+
+  python scripts/evaluate.py --h5 solar_unet.h5 --config solar \
+      --eval 'chips/eval-*.tfrecord' [--out report.json]
+
+The U-Net architecture (bands/filters/convs_per_block/classes) is
+inferred from the .h5 kernel shapes (train.keras_import.infer_unet_arch),
+weights are mapped onto the flax tree (exact forward parity pinned in
+tests/test_tf_parity.py), BN is folded for serving, and the same
+confusion report is produced. --h5 accepts a local path or https URL.
 """
 
 import argparse
@@ -29,6 +42,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from predict import load_model  # noqa: E402
 
 
+def load_h5_model(h5, cfg, fold=True):
+    """Reference Keras ``.h5`` (path or URL) -> (flax model, variables),
+    ready to serve: arch inferred from kernel shapes, weights mapped,
+    BN optionally folded (models/fold.py; numerically identical)."""
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu.models import UNet, fold_unet_variables
+    from satellite_computervision_tpu.train.keras_import import (
+        infer_unet_arch,
+        load_keras_unet_h5,
+    )
+
+    if h5.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(h5) as resp:
+            h5 = resp.read()
+    arch = infer_unet_arch(h5)
+    if arch["bands"] != len(cfg.bands):
+        print(f"note: h5 expects {arch['bands']} bands; config "
+              f"{cfg.name!r} lists {len(cfg.bands)} — the h5 wins")
+    model = UNet(
+        n_classes=arch["n_classes"],
+        filters=arch["filters"],
+        factors=arch["factors"],
+        convs_per_block=arch["convs_per_block"],
+        head="sigmoid" if arch["n_classes"] == 1 else "softmax",
+        threshold=cfg.threshold,
+        dtype=jnp.bfloat16,
+    )
+    init = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, arch["bands"])),
+    )
+    params, stats = load_keras_unet_h5(h5, init["params"], init["batch_stats"])
+    variables = {"params": params, "batch_stats": stats}
+    if fold:
+        model, variables = fold_unet_variables(model, variables)
+    print(f"imported h5 U-Net: {arch['bands']} bands, filters "
+          f"{arch['filters']}, convs_per_block {arch['convs_per_block']}, "
+          f"{arch['n_classes']} classes, fold_bn={fold}")
+    return model, variables
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -38,7 +95,16 @@ def main(argv=None):
                     help="single-input TFRecord families only (multi-input "
                     "families need npy-chip plumbing; evaluate those via "
                     "the Trainer's eval loop)")
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", help="framework checkpoint dir (or use --h5)")
+    ap.add_argument("--h5", help="reference Keras .h5 weights (path or "
+                    "https URL) — architecture inferred, weights imported, "
+                    "BN folded, then evaluated like any checkpoint")
+    ap.add_argument("--family", default="unet", choices=["unet"],
+                    help="--h5 model family (reference U-Nets; other "
+                    "families import via compat.get_blob_model)")
+    ap.add_argument("--no-fold", action="store_true",
+                    help="--h5: serve live eval-mode BN instead of the "
+                    "folded program (numerically identical; for debugging)")
     ap.add_argument("--eval", required=True, help="glob of eval TFRecords")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--class-names", nargs="*", default=None)
@@ -50,7 +116,13 @@ def main(argv=None):
     if not files:
         sys.exit(f"no files match {args.eval!r}")
 
-    model, variables = load_model(cfg, args.ckpt, arch=args.model)
+    if args.h5:
+        model, variables = load_h5_model(
+            args.h5, cfg, fold=not args.no_fold)
+    elif args.ckpt:
+        model, variables = load_model(cfg, args.ckpt, arch=args.model)
+    else:
+        sys.exit("one of --ckpt / --h5 is required")
     bands = list(cfg.bands)
     response_depth = cfg.num_classes if cfg.num_classes > 1 else None
     preprocess = make_preprocess_fn(

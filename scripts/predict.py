@@ -36,6 +36,46 @@ from satellite_computervision_tpu.train.config import CONFIGS as _ALL_CONFIGS
 CONFIGS = dict(_ALL_CONFIGS)
 
 
+def resolve_serving_geometry(cfg, args, ckpt_dir=None):
+    """The serving-geometry policy, in precedence order:
+
+    1. explicit ``--kernel`` / ``--buffer`` / ``--batch-size`` flags;
+    2. a cached tune table (``<ckpt>/tune.json``, written by a previous
+       ``--tune`` run) — its measured best row, including whole-scene;
+    3. the preset's measured serving geometry
+       (``TrainConfig.serving_geometry``; e.g. solar serves k512+b128
+       batch 16, ~2x the k256 training geometry it was benched against).
+
+    The reference hard-codes the training chip size into its predict loop
+    (utils/prediction_tools.py:87-131); here geometry is a serving choice.
+    Returns (kernel, buffer, batch, tile_mode, source-string).
+    """
+    import os
+
+    kernel, buffer, batch = cfg.serving_geometry
+    tile_mode, source = args.tile_mode, "preset"
+    explicit = (args.kernel is not None or args.buffer is not None
+                or args.tile_mode != "chips")
+    table = (os.path.join(ckpt_dir, "tune.json")
+             if ckpt_dir and not explicit else None)
+    if table and os.path.exists(table):
+        from satellite_computervision_tpu.inference.tune import load_tune_table
+
+        best = load_tune_table(table)[0]
+        source = f"tune table ({best.ms:.1f} ms/scene)"
+        if best.tile_mode == "whole":
+            tile_mode = "whole"
+        else:
+            kernel, buffer, tile_mode = best.kernel, best.buffer, "chips"
+    if args.kernel is not None:
+        kernel, source = args.kernel, "flags"
+    if args.buffer is not None:
+        buffer, source = args.buffer, "flags"
+    if args.batch_size is not None:
+        batch = args.batch_size
+    return kernel, buffer, batch, tile_mode, source
+
+
 def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if arch in ("unet", "deeplab"):
@@ -76,14 +116,17 @@ def main(argv=None):
     ap.add_argument("--output", help="scene mode: output .tif path")
     ap.add_argument("--outdir", help="patches mode: output directory")
     ap.add_argument("--base", default="pred", help="patches mode: output basename")
-    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="chips per forward (default: the config's serving "
+                    "batch)")
     ap.add_argument("--kernel", type=int, default=None,
-                    help="engine chip kernel (default: the config's "
-                    "kernel_size). Fully-convolutional models accept any "
-                    "multiple of 32; on v5e, kernel 512 + batch 16 measures "
-                    "~2x the 256-kernel grid's scene throughput")
+                    help="engine chip kernel (default: a cached tune table "
+                    "next to the checkpoint if present, else the config's "
+                    "measured serving geometry — solar serves k512, ~2x the "
+                    "256-kernel training grid on v5e). Fully-convolutional "
+                    "models accept any multiple of 32")
     ap.add_argument("--buffer", type=int, default=None,
-                    help="engine chip context buffer (default: the config's)")
+                    help="engine chip context buffer (default: as --kernel)")
     ap.add_argument("--tune", action="store_true",
                     help="scene mode: measure candidate chip geometries on "
                     "the device first and serve the fastest "
@@ -135,11 +178,14 @@ def main(argv=None):
         predict_pair = lambda chips: model.apply(
             variables, chips[..., :nb], chips[..., nb:]
         )["probs"]
+        kernel, buffer, batch, tile_mode, source = resolve_serving_geometry(
+            cfg, args, args.ckpt)
+        print(f"serving geometry: k{kernel}+b{buffer} batch {batch} "
+              f"({source})")
         engine = TiledInferenceEngine(
-            predict_pair, kernel=args.kernel or cfg.kernel_size,
-            buffer=args.buffer if args.buffer is not None else cfg.kernel_buffer,
-            batch_size=args.batch_size, out_channels=1, blend=args.blend,
-            tile_mode=args.tile_mode, max_rows=args.max_rows,
+            predict_pair, kernel=kernel, buffer=buffer,
+            batch_size=batch, out_channels=1, blend=args.blend,
+            tile_mode=tile_mode, max_rows=args.max_rows,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(stack))
@@ -158,22 +204,32 @@ def main(argv=None):
             scene = scene[..., None]
         out_transform = (lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None
         if args.tune:
+            import os
+
             from satellite_computervision_tpu.inference import tune_engine_geometry
+            from satellite_computervision_tpu.inference.tune import save_tune_table
 
             print("tuning chip geometry on device:")
             engine, rows = tune_engine_geometry(
                 predict, scene.shape, scene.dtype,
                 out_channels=cfg.num_classes, blend=args.blend,
-                batch_size=args.batch_size, output_transform=out_transform,
+                batch_size=args.batch_size or cfg.serving_geometry[2],
+                output_transform=out_transform,
                 scene=scene, max_rows=args.max_rows, verbose=print,
             )
-            print(f"serving with {rows[0].label()} ({rows[0].ms:.1f} ms/scene)")
+            table = os.path.join(args.ckpt, "tune.json")
+            save_tune_table(table, rows)
+            print(f"serving with {rows[0].label()} ({rows[0].ms:.1f} ms/scene); "
+                  f"table cached at {table} (future runs use it by default)")
         else:
+            kernel, buffer, batch, tile_mode, source = resolve_serving_geometry(
+                cfg, args, args.ckpt)
+            print(f"serving geometry: k{kernel}+b{buffer} batch {batch} "
+                  f"tile_mode={tile_mode} ({source})")
             engine = TiledInferenceEngine(
-                predict, kernel=args.kernel or cfg.kernel_size,
-                buffer=args.buffer if args.buffer is not None else cfg.kernel_buffer,
-                batch_size=args.batch_size, out_channels=cfg.num_classes,
-                blend=args.blend, tile_mode=args.tile_mode, max_rows=args.max_rows,
+                predict, kernel=kernel, buffer=buffer,
+                batch_size=batch, out_channels=cfg.num_classes,
+                blend=args.blend, tile_mode=tile_mode, max_rows=args.max_rows,
                 output_transform=out_transform,
             )
         pred = np.asarray(engine.predict_scene(scene))
@@ -194,7 +250,7 @@ def main(argv=None):
         out_base=args.base,
         kernel_shape=(cfg.kernel_size, cfg.kernel_size),
         kernel_buffer=(cfg.kernel_buffer, cfg.kernel_buffer),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or cfg.serving_geometry[2],
     )
     print(f"wrote {len(written)} prediction tfrecords")
     if mixer_path:

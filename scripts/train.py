@@ -134,6 +134,11 @@ def main(argv=None):
     ap.add_argument("--bn-momentum", type=float, default=0.9,
                     help="BatchNorm running-stat momentum; the Keras-parity "
                     "0.99 needs thousands of steps before eval stabilizes")
+    ap.add_argument("--torch-weights",
+                    help="deeplab: warm-start the ResNet backbone from a "
+                    "torchvision state_dict .pth (README.md:8's pretrained-"
+                    "ResNet DeepLab; models.deeplab.load_torch_resnet_weights "
+                    "maps convs AND BN running statistics)")
     ap.add_argument("--resume", action="store_true", help="restore best ckpt + seed best metric")
     ap.add_argument("--orbax", action="store_true",
                     help="checkpoint via orbax (sharded-state capable) instead of msgpack")
@@ -160,6 +165,19 @@ def main(argv=None):
         model, jax.random.key(args.seed), example[0],
         tx=optax.adam(lr), model_args=example[1:],
     )
+
+    if args.torch_weights:
+        if args.model != "deeplab":
+            sys.exit("--torch-weights applies to --model deeplab (the "
+                     "torchvision ResNet backbone)")
+        from satellite_computervision_tpu.models.deeplab import (
+            load_torch_resnet_weights,
+        )
+
+        p, bs = load_torch_resnet_weights(
+            state.params, args.torch_weights, state.batch_stats)
+        state = state.replace(params=p, batch_stats=bs)
+        print(f"warm-started ResNet backbone from {args.torch_weights}")
 
     ckpt = CheckpointManager(args.ckpt, backend="orbax" if args.orbax else "msgpack")
     trainer = Trainer(

@@ -92,6 +92,47 @@ def main():
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(rleaf))
         print("CKPT_OK", flush=True)
 
+    # cross-process sharded-hann scene inference: the DCN halo path
+    # (ppermute chip-row exchange between PROCESSES over Gloo, not just
+    # between local devices) must reproduce the single-device engine's
+    # hann blend bitwise — every process checks its own addressable row
+    # shards against a locally computed engine reference (SURVEY §2.9;
+    # the reference's distributed scene path is utils/pc_tools.py:670-729)
+    from satellite_computervision_tpu.inference import TiledInferenceEngine
+    from satellite_computervision_tpu.parallel.spatial import make_spatial_inference
+
+    k, b = 32, 16
+
+    def avg3(x):
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    out = out + jnp.roll(x, (dy, dx), axis=(1, 2))
+        return out[..., :1] / 9.0
+
+    # tall enough that every device owns >= halo rows at any n_proc<=3
+    scene = np.random.default_rng(11).normal(
+        size=(14 * k + 5, 2 * k + 7, 2)
+    ).astype(np.float32)
+    spatial = make_spatial_inference(
+        avg3, mesh, axis="data", kernel=k, buffer=b, blend="hann", batch_size=4,
+    )
+    got = spatial(scene)  # global array: only local shards addressable
+
+    engine = TiledInferenceEngine(
+        avg3, kernel=k, buffer=b, batch_size=4, out_channels=1,
+        blend="hann", index_mode="grid",
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    assert got.shape == want.shape == scene.shape[:2] + (1,)
+    checked = 0
+    for shard in got.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
+        checked += int(np.asarray(shard.data).shape[0])
+    assert checked > 0
+    print(f"HANN_OK rows={checked}", flush=True)
+
     print("RESULT " + json.dumps(losses_out), flush=True)
 
 

@@ -33,9 +33,11 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     from satellite_computervision_tpu.train import zoo
     from satellite_computervision_tpu.train.config import SOLAR_CONFIG
 
-    # shrink the solar config for CPU speed
+    # shrink the solar config for CPU speed (serve_* too: the preset's
+    # measured k512 serving geometry is for the real model on real scenes)
     small = dataclasses.replace(
-        SOLAR_CONFIG, kernel_size=64, kernel_buffer=32, batch_size=4
+        SOLAR_CONFIG, kernel_size=64, kernel_buffer=32, batch_size=4,
+        serve_kernel=64, serve_buffer=32, serve_batch=4,
     )
     monkeypatch.setitem(train_cli.CONFIGS, "solar", small)
     monkeypatch.setitem(predict_cli.CONFIGS, "solar", small)
@@ -217,3 +219,199 @@ def test_predict_change_cli(tmp_path, monkeypatch):
     pred, meta = read_geotiff(out_tif)
     assert pred.shape == (96, 96, 1)
     assert np.isfinite(pred).all()
+
+
+def test_resolve_serving_geometry_precedence(tmp_path):
+    """The predict CLI's serving-geometry policy: flags > cached tune
+    table next to the checkpoint > preset serving geometry."""
+    import argparse
+
+    import predict as predict_cli
+
+    from satellite_computervision_tpu.inference.tune import save_tune_table
+    from satellite_computervision_tpu.inference import GeometryTiming
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+
+    def ns(**kw):
+        base = dict(kernel=None, buffer=None, batch_size=None,
+                    tile_mode="chips")
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    # 3. preset default: solar's measured k512+b128 batch 16
+    k, b, bs, tm, src = predict_cli.resolve_serving_geometry(
+        SOLAR_CONFIG, ns(), str(tmp_path / "nockpt"))
+    assert (k, b, bs, tm) == (512, 128, 16, "chips") and src == "preset"
+
+    # 2. a cached tune table overrides the preset
+    ckpt = tmp_path / "run"
+    save_tune_table(str(ckpt / "tune.json"),
+                    [GeometryTiming(384, 64, "chips", 3.2),
+                     GeometryTiming(512, 128, "chips", 5.0)])
+    k, b, bs, tm, src = predict_cli.resolve_serving_geometry(
+        SOLAR_CONFIG, ns(), str(ckpt))
+    assert (k, b, tm) == (384, 64, "chips") and src.startswith("tune table")
+
+    # a whole-scene winner flips the tile mode
+    save_tune_table(str(ckpt / "tune.json"),
+                    [GeometryTiming(1920, 0, "whole", 2.0),
+                     GeometryTiming(512, 128, "chips", 5.0)])
+    _, _, _, tm, _ = predict_cli.resolve_serving_geometry(
+        SOLAR_CONFIG, ns(), str(ckpt))
+    assert tm == "whole"
+
+    # 1. explicit flags beat the table AND the preset
+    k, b, bs, tm, src = predict_cli.resolve_serving_geometry(
+        SOLAR_CONFIG, ns(kernel=256, buffer=64, batch_size=8), str(ckpt))
+    assert (k, b, bs, src) == (256, 64, 8, "flags")
+
+    # an explicit non-default tile mode also disables the table
+    _, _, _, tm, src = predict_cli.resolve_serving_geometry(
+        SOLAR_CONFIG, ns(tile_mode="whole"), str(ckpt))
+    assert tm == "whole" and src == "preset"
+
+
+def test_evaluate_h5_published_weights_workflow(tmp_path, monkeypatch, rng):
+    """The one-command published-weights check: reference .h5 -> inferred
+    arch -> imported weights -> folded BN -> chip confusion report
+    (reference load path: utils/model_tools.py:1128-1269). Rehearsed here
+    on a synthetic reference-layout h5; the day real chips/weights exist
+    this is `evaluate.py --h5 <url> --eval <chips>`."""
+    import dataclasses
+
+    import evaluate as evaluate_cli
+    from test_keras_import import _synthetic_ref_unet_h5
+
+    from satellite_computervision_tpu.data import write_tfrecord_file
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+
+    h5 = str(tmp_path / "published.h5")
+    _synthetic_ref_unet_h5(h5, rng, bands=3, filters=(4, 8))
+
+    small = dataclasses.replace(
+        SOLAR_CONFIG, bands=("B2", "B3", "B4"), kernel_size=32,
+        kernel_buffer=16, batch_size=2,
+    )
+    monkeypatch.setitem(evaluate_cli.CONFIGS, "solar", small)
+
+    k = 32
+    examples = []
+    for _ in range(4):
+        ex = {b: rng.uniform(0, 0.3, k * k).astype(np.float32)
+              for b in small.bands}
+        label = np.zeros((k, k), np.float32)
+        label[8:20, 8:24] = 1.0
+        ex["landcover"] = label.reshape(-1)
+        examples.append(ex)
+    chips = tmp_path / "eval.tfrecord"
+    write_tfrecord_file(str(chips), examples)
+
+    report_path = str(tmp_path / "h5_report.json")
+    evaluate_cli.main([
+        "--h5", h5, "--config", "solar", "--eval", str(chips),
+        "--batch-size", "2", "--out", report_path,
+        "--class-names", "background", "solar",
+    ])
+    report = json.loads(open(report_path).read())
+    counts = np.asarray(report["counts"])
+    assert counts.shape == (2, 2) and counts.sum() == 4 * k * k
+    assert set(report["per_class"]) == {"background", "solar"}
+
+    # --no-fold (live BN) scores identically: folding is numerics-neutral
+    report2_path = str(tmp_path / "h5_report_nofold.json")
+    evaluate_cli.main([
+        "--h5", h5, "--config", "solar", "--eval", str(chips),
+        "--batch-size", "2", "--out", report2_path, "--no-fold",
+    ])
+    counts2 = np.asarray(json.loads(open(report2_path).read())["counts"])
+    np.testing.assert_array_equal(counts, counts2)
+
+
+def test_infer_unet_arch(tmp_path, rng):
+    from test_keras_import import _synthetic_ref_unet_h5
+
+    from satellite_computervision_tpu.train.keras_import import infer_unet_arch
+
+    h5 = str(tmp_path / "ref.h5")
+    _synthetic_ref_unet_h5(h5, rng, bands=5, filters=(4, 8))
+    arch = infer_unet_arch(h5)
+    assert arch == {"bands": 5, "filters": (4, 8), "factors": (2, 2),
+                    "convs_per_block": 1, "n_classes": 1}
+
+
+def test_train_deeplab_torch_weights_warm_start(tmp_path, monkeypatch):
+    """README.md:8's pretrained-ResNet DeepLab as a workflow, not just an
+    API: `train.py --model deeplab --torch-weights backbone.pth` warm-
+    starts the backbone (convs AND BN running stats) before training."""
+    import dataclasses
+
+    import train as train_cli
+    from test_deeplab_weights import _synthetic_resnet_state_dict
+
+    import torch
+    import jax, optax
+
+    from satellite_computervision_tpu.train import create_train_state, load_checkpoint
+    from satellite_computervision_tpu.train.config import PARKING_CONFIG
+    from satellite_computervision_tpu.train import zoo
+
+    small = dataclasses.replace(
+        PARKING_CONFIG, kernel_size=64, kernel_buffer=32, batch_size=2,
+    )
+    monkeypatch.setitem(train_cli.CONFIGS, "parking", small)
+    fam = zoo.FAMILIES["deeplab"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "deeplab",
+        dataclasses.replace(
+            fam, build=lambda cfg, **kw: fam.build(
+                cfg, stage_sizes=(1, 1, 1, 1), **kw)
+        ),
+    )
+
+    sd = _synthetic_resnet_state_dict(stage_sizes=(1, 1, 1, 1))
+    pth = str(tmp_path / "backbone.pth")
+    torch.save(sd, pth)
+
+    chips = tmp_path / "train.tfrecord"
+    _write_parking_like_chips(chips, k=64)
+    ckpt = str(tmp_path / "run")
+    # lr ~ 0 so the single step leaves the warm-started convs measurable
+    train_cli.main([
+        "--config", "parking", "--model", "deeplab",
+        "--train", str(chips), "--ckpt", ckpt,
+        "--epochs", "1", "--steps-per-epoch", "1", "--batch-size", "2",
+        "--torch-weights", pth, "--lr", "1e-12",
+    ])
+
+    import jax.numpy as jnp
+
+    model = zoo.FAMILIES["deeplab"].build(small, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+        tx=optax.adam(1e-3))
+    restored, _ = load_checkpoint(f"{ckpt}/best", state)
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    got = np.asarray(restored.params["backbone"]["stem_conv"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # non-deeplab families reject the flag
+    with pytest.raises(SystemExit):
+        train_cli.main([
+            "--config", "parking", "--model", "unet",
+            "--train", str(chips), "--ckpt", ckpt, "--torch-weights", pth,
+        ])
+
+
+def _write_parking_like_chips(path, n=4, k=64, seed=0):
+    from satellite_computervision_tpu.data import write_tfrecord_file
+
+    rng = np.random.default_rng(seed)
+    bands = ["R", "G", "B"]
+    examples = []
+    for _ in range(n):
+        ex = {b: rng.uniform(0, 1, k * k).astype(np.float32) for b in bands}
+        label = np.zeros((k, k), np.float32)
+        label[10:30, 10:40] = 1.0
+        ex["impervious"] = label.reshape(-1)
+        examples.append(ex)
+    write_tfrecord_file(str(path), examples)

@@ -101,6 +101,23 @@ def test_masked_mse_ignores_nonfinite():
     np.testing.assert_allclose(got, (1.0 + 4.0) / 2.0, rtol=1e-6)
 
 
+def test_masked_mse_gradient_finite_under_nan_targets():
+    """The NaN-in-where gradient trap: masking AFTER the subtraction
+    leaks d/d_pred of 0 * NaN = NaN into every masked pixel's gradient,
+    silently NaN-ing all parameters on the first train step (TF's
+    boolean_mask gather never had this; the JAX port must mask the
+    target before subtracting). Guards the gradient-safe formulation."""
+    import jax
+
+    t = np.array([[1.0, np.nan], [2.0, np.nan]], np.float32).reshape(1, 2, 2, 1)
+    p = np.array([[2.0, 5.0], [4.0, 5.0]], np.float32).reshape(1, 2, 2, 1)
+    g = np.asarray(jax.grad(lambda p: losses.masked_mse(t, p))(p))
+    assert np.isfinite(g).all()
+    # masked pixels contribute zero gradient; finite ones the usual 2e/n
+    np.testing.assert_allclose(
+        g.ravel(), [2 * 1.0 / 2, 0.0, 2 * 2.0 / 2, 0.0], rtol=1e-6)
+
+
 def test_make_loss_factory():
     fn = losses.make_loss("weighted_bce", pos_weight=2.0)
     assert float(fn(np.array([1.0]), np.array([0.9]))) > 0

@@ -113,6 +113,9 @@ def test_process_bootstrap_matches_single_process(tmp_path, n_proc):
         losses.append(json.loads(lines[-1][len("RESULT "):]))
         if ckpt_args:  # cross-process orbax roundtrip ran in every worker
             assert "CKPT_OK" in out, f"sharded checkpoint failed:\n{out}"
+        # cross-process sharded-hann == single-device engine, bitwise,
+        # verified per-process on its addressable row shards
+        assert "HANN_OK" in out, f"sharded hann parity failed:\n{out}"
 
     # every process observes the same replicated loss trajectory
     for other in losses[1:]:

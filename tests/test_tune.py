@@ -102,3 +102,65 @@ def test_tuner_skips_whole_mode_on_unaligned_scene(rng):
 def test_geometry_timing_labels():
     assert GeometryTiming(512, 128, "chips", 1.0).label() == "k512+b128"
     assert GeometryTiming(1920, 0, "whole", 1.0).label() == "whole-scene"
+
+
+def test_tune_table_roundtrip_and_from_model(tmp_path, rng):
+    """The cached-tune-table serving path (predict --tune persists the
+    measured table next to the checkpoint; later serves consult it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu.inference.tune import (
+        load_tune_table,
+        save_tune_table,
+    )
+    from satellite_computervision_tpu.models import UNet
+    from satellite_computervision_tpu.train import create_train_state
+
+    rows = [
+        GeometryTiming(256, 128, "chips", 9.0),
+        GeometryTiming(512, 128, "chips", 4.5),
+        GeometryTiming(640, 0, "whole", 6.0),
+    ]
+    table = tmp_path / "ckpt" / "tune.json"
+    save_tune_table(str(table), rows)
+    loaded = load_tune_table(str(table))
+    assert [r.ms for r in loaded] == [4.5, 6.0, 9.0]  # best first
+    assert loaded[0] == GeometryTiming(512, 128, "chips", 4.5)
+
+    model = UNet(n_classes=1, filters=(4,), factors=(2,), head="sigmoid")
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # geometry="tuned" + an existing table -> the measured best row
+    eng = TiledInferenceEngine.from_model(
+        model, variables, geometry="tuned", tune_table=str(table))
+    assert (eng.kernel, eng.buffer, eng.tile_mode) == (512, 128, "chips")
+
+    # a whole-scene winner switches the tile mode instead
+    save_tune_table(str(table), [GeometryTiming(640, 0, "whole", 2.0)] + rows)
+    eng = TiledInferenceEngine.from_model(
+        model, variables, geometry="tuned", tune_table=str(table))
+    assert eng.tile_mode == "whole"
+
+    # missing table: "tuned" falls back to the explicit kwargs (safe to
+    # request unconditionally)
+    eng = TiledInferenceEngine.from_model(
+        model, variables, geometry="tuned",
+        tune_table=str(tmp_path / "nope.json"), kernel=96, buffer=32)
+    assert (eng.kernel, eng.buffer) == (96, 32)
+
+    # explicit (kernel, buffer) tuple form
+    eng = TiledInferenceEngine.from_model(model, variables, geometry=(128, 64))
+    assert (eng.kernel, eng.buffer) == (128, 64)
+
+
+def test_preset_serving_geometry_defaults():
+    """Presets carry the measured serving geometry (solar: the v5e-benched
+    k512 grid, ~2x the k256 training geometry); unmeasured presets fall
+    back to their training geometry."""
+    from satellite_computervision_tpu.train.config import CONFIGS
+
+    assert CONFIGS["solar"].serving_geometry == (512, 128, 16)
+    ch = CONFIGS["change"]
+    assert ch.serving_geometry == (ch.kernel_size, ch.kernel_buffer, ch.batch_size)
