@@ -59,7 +59,10 @@ from convergence_common import (  # noqa: E402
     smooth_field,
     stable_seed,
 )
-from satellite_computervision_tpu.cloud.compositing import change_pair_composite  # noqa: E402
+from satellite_computervision_tpu.cloud.compositing import (  # noqa: E402
+    change_pair_composite,
+    normalize_composite,
+)
 from satellite_computervision_tpu.inference import TiledInferenceEngine  # noqa: E402
 from satellite_computervision_tpu.models import SiameseUNet, losses  # noqa: E402
 from satellite_computervision_tpu.train import create_train_state  # noqa: E402
@@ -154,14 +157,16 @@ def make_chip(split: str, index: int):
     before += rng.normal(0, 45, before.shape)
     after += rng.normal(0, 45, after.shape)
 
-    # the reference's per-composite z-normalization (pc_tools.py:648-652 /
-    # cloud.compositing.composite_items(normalize=True))
-    def znorm(img):
-        m = img.reshape(-1, NB).mean(0)
-        s = img.reshape(-1, NB).std(0) + 1e-6
-        return (img - m) / s
-
-    x = np.concatenate([znorm(before), znorm(after)], axis=-1)
+    # Train on EXACTLY the serving transform: run_local z-normalizes each
+    # composite per-pixel ACROSS BANDS (normalize_dataArray(..., 'band'),
+    # utils/pc_tools.py:90-107, :646-648) — which also absorbs the
+    # per-date gain/offset drift. (The reference itself trains on /10000
+    # chips but serves the band-normalized scene — a train/serve skew
+    # this harness does not reproduce: a model fed its training transform
+    # at serving is the behavior users need.)
+    x = np.concatenate(
+        [normalize_composite(before), normalize_composite(after)], axis=-1
+    )
     return x.astype(np.float16), label[..., None].astype(np.uint8)
 
 
@@ -255,7 +260,8 @@ def main(argv=None):
     print(f"change convergence: {args.train_size} pair chips x "
           f"{args.epochs} epochs, batch {args.batch_size}")
     state, best = run_convergence(
-        state, train_step, eval_step, make_chip, args, log)
+        state, train_step, eval_step, make_chip, args, log,
+        keep_best_state=args.scene_eval)
 
     summary = {"final": {k: round(float(v), 4) for k, v in best.items()},
                "config": vars(args)}

@@ -88,15 +88,23 @@ def run_convergence(
     extra_record=None,
     num_classes=2,
     metrics_fn=None,
+    keep_best_state=False,
 ):
     """The shared epoch loop: train (device-side loss accumulation — one
     host sync per epoch), eval to a confusion matrix, JSONL record per
     epoch, best-epoch tracking (on ``metrics_fn``'s ``iou`` key — mean
-    IoU for :func:`multiclass_metrics`). Returns (state, best: dict)."""
+    IoU for :func:`multiclass_metrics`). Returns (state, best: dict).
+
+    With ``keep_best_state=True`` the returned state is the BEST epoch's
+    (host-side copy taken at each new best) rather than the last — the
+    harness analog of the reference's ModelCheckpoint(save_best_only)
+    callback (solar notebook cell 17), for scene evals that should score
+    the model a user would actually keep."""
     metrics_fn = metrics_fn or binary_metrics
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed + 1)
     best = None
+    best_state = None
     for epoch in range(args.epochs):
         t0 = time.time()
         tloss, steps = None, 0
@@ -131,7 +139,11 @@ def run_convergence(
         # >= so the first epoch always seeds a full-schema best record
         if best is None or m["iou"] >= best["iou"]:
             best = {**m, "epoch": epoch}
+            if keep_best_state:
+                best_state = jax.device_get(state)
         print(json.dumps(rec))
         log.write(json.dumps(rec) + "\n")
         log.flush()
+    if keep_best_state and best_state is not None:
+        state = jax.device_put(best_state)
     return state, best or {}

@@ -135,6 +135,13 @@ def make_chip(split: str, index: int):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--loss", choices=["gen_dice", "wcce"], default="gen_dice")
+    ap.add_argument("--gdl-counts", choices=["element", "batch"],
+                    default="batch",
+                    help="gen_dice class-count pooling: 'batch' = Sudre et "
+                    "al.'s whole-batch counts (stable); 'element' = per "
+                    "batch element (1/count^2 explodes when a class has "
+                    "few pixels in one element — measured here as an "
+                    "epoch-level collapse and a dead mid-frequency class)")
     ap.add_argument("--train-size", type=int, default=800)
     ap.add_argument("--eval-size", type=int, default=160)
     ap.add_argument("--epochs", type=int, default=15)
@@ -161,7 +168,8 @@ def main(argv=None):
         loss_fn = lambda y, p: losses.weighted_categorical_crossentropy(
             y, p, weights, reduce_mean=True)
     else:
-        loss_fn = losses.gen_dice
+        loss_fn = lambda y, p: losses.gen_dice(
+            y, p, batch_counts=(args.gdl_counts == "batch"))
     train_step = make_train_step(loss_fn, pred_key="probs",
                                  num_classes=NCLASS)
     eval_step = make_eval_step(loss_fn, pred_key="probs",
@@ -173,7 +181,9 @@ def main(argv=None):
           f"{args.epochs} epochs, batch {args.batch_size}, {NCLASS} classes")
     state, best = run_convergence(
         state, train_step, eval_step, make_chip, args, log,
-        extra_record={"loss_name": args.loss},
+        extra_record={"loss_name": args.loss,
+                      **({"gdl_counts": args.gdl_counts}
+                         if args.loss == "gen_dice" else {})},
         num_classes=NCLASS,
         metrics_fn=lambda cm: multiclass_metrics(cm, CLASSES),
     )

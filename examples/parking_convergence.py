@@ -121,6 +121,17 @@ def main(argv=None):
     ap.add_argument("--pos-weight", type=float, default=20.0)  # parking nb cell 39
     ap.add_argument("--out", default="runs/parking_convergence.jsonl")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--torch-weights",
+                    help="deeplab only: warm-start the ResNet backbone from "
+                    "a torchvision-layout state_dict .pth (README.md:8's "
+                    "pretrained backbone; scripts/train.py --torch-weights "
+                    "is the production path, this flag makes the warm-vs-"
+                    "cold comparison reproducible in one harness)")
+    ap.add_argument("--export-backbone",
+                    help="deeplab only: after training, write the backbone "
+                    "as a torchvision-layout .pth (models.deeplab."
+                    "export_torch_resnet_weights) — the pretrain half of "
+                    "the warm-start rehearsal")
     args = ap.parse_args(argv)
 
     if args.model == "deeplab":
@@ -134,6 +145,19 @@ def main(argv=None):
         model, jax.random.key(args.seed), jnp.zeros((1, K, K, 3)),
         tx=optax.adam(args.lr),
     )
+    if args.torch_weights or args.export_backbone:
+        if args.model != "deeplab":
+            raise SystemExit("--torch-weights/--export-backbone apply to "
+                             "--model deeplab (the ResNet backbone)")
+    if args.torch_weights:
+        from satellite_computervision_tpu.models.deeplab import (
+            load_torch_resnet_weights,
+        )
+        p, bs = load_torch_resnet_weights(
+            jax.device_get(state.params), args.torch_weights,
+            jax.device_get(state.batch_stats))
+        state = state.replace(params=p, batch_stats=bs)
+        print(f"warm-started ResNet backbone from {args.torch_weights}")
     loss_fn = lambda y, p: losses.weighted_bce(y, p, pos_weight=args.pos_weight, logits=True)
     train_step = make_train_step(loss_fn, pred_key="logits", num_classes=2)
     eval_step = make_eval_step(loss_fn, pred_key="logits", num_classes=2)
@@ -147,8 +171,18 @@ def main(argv=None):
           f"{args.epochs} epochs, batch {args.batch_size}, pos_weight {args.pos_weight}")
     state, best = run_convergence(
         state, train_step, eval_step, make_chip, args, log,
-        extra_record={"model": args.model},
+        extra_record={"model": args.model,
+                      "warm_start": bool(args.torch_weights)},
     )
+
+    if args.export_backbone:
+        from satellite_computervision_tpu.models.deeplab import (
+            export_torch_resnet_weights,
+        )
+        export_torch_resnet_weights(
+            jax.device_get(state.params), jax.device_get(state.batch_stats),
+            args.export_backbone)
+        print(f"exported backbone state_dict to {args.export_backbone}")
 
     summary = {"final": {k: round(float(v), 4) for k, v in best.items()},
                "config": vars(args)}

@@ -74,30 +74,34 @@ PANEL = np.array([0.060, 0.065, 0.060, 0.085, 0.100, 0.080], np.float32)
 WATER = np.array([0.045, 0.050, 0.040, 0.020, 0.010, 0.008], np.float32)
 
 
-def make_chip(split: str, index: int):
-    """Deterministic (features (K,K,6) refl, label (K,K,1)) for an index.
+def make_chip(split: str, index: int, k: int = K):
+    """Deterministic (features (k,k,6) refl, label (k,k,1)) for an index.
 
-    Seeds are process-stable (convergence_common.stable_seed)."""
+    Seeds are process-stable (convergence_common.stable_seed). ``k`` is
+    the tile side — the probe-measured large-tile training geometry
+    (bench.py --probe-traingeo) trains on the same distribution at 512^2
+    via --tile; feature/structure scales are in pixels either way, so a
+    512^2 chip is "more landscape", not rescaled content."""
     rng = np.random.default_rng(stable_seed(split, index))
 
-    veg_frac = 0.5 + 0.5 * smooth_field(rng, K)  # spatially correlated mix
+    veg_frac = 0.5 + 0.5 * smooth_field(rng, k)  # spatially correlated mix
     veg_frac = np.clip(veg_frac, 0.0, 1.0)[..., None]
     chip = veg_frac * VEG + (1 - veg_frac) * SOIL
 
-    label = np.zeros((K, K), np.float32)
+    label = np.zeros((k, k), np.float32)
 
     # water confuser (30% of chips): dark blob
     if rng.random() < 0.3:
-        cy, cx = rng.integers(30, K - 30, 2)
+        cy, cx = rng.integers(30, k - 30, 2)
         r = rng.integers(12, 40)
-        yy, xx = np.ogrid[:K, :K]
+        yy, xx = np.ogrid[:k, :k]
         blob = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
         chip[blob] = WATER * rng.uniform(0.8, 1.2)
 
     # dark road confuser (40%)
     if rng.random() < 0.4:
         w = rng.integers(2, 5)
-        pos = rng.integers(0, K - w)
+        pos = rng.integers(0, k - w)
         dark = PANEL * rng.uniform(0.9, 1.1) * np.array([1, 1, 1.2, 1.3, 1.5, 1.4], np.float32)
         if rng.random() < 0.5:
             chip[pos : pos + w, :] = dark
@@ -108,8 +112,8 @@ def make_chip(split: str, index: int):
     if rng.random() < 0.6:
         fh = int(rng.integers(24, 96))
         fw = int(rng.integers(24, 96))
-        fy = int(rng.integers(4, K - fh - 4))
-        fx = int(rng.integers(4, K - fw - 4))
+        fy = int(rng.integers(4, k - fh - 4))
+        fx = int(rng.integers(4, k - fw - 4))
         farm = np.tile(PANEL, (fh, fw, 1)) * rng.uniform(0.9, 1.1)
         # panel-row striping: every 4th row line shows ground between rows
         stripe = (np.arange(fh) % 4 == 3)[:, None, None]
@@ -136,6 +140,10 @@ def main(argv=None):
     ap.add_argument("--pos-weight", type=float, default=2.0)
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--bn-momentum", type=float, default=0.9)
+    ap.add_argument("--tile", type=int, default=K,
+                    help="training tile side (default 256 = the reference "
+                    "chip export; 512 = the probe-measured MXU-efficient "
+                    "geometry, bench.py --probe-traingeo)")
     ap.add_argument("--space-to-depth", action="store_true")
     ap.add_argument("--out", default="runs/solar_convergence.jsonl")
     ap.add_argument("--seed", type=int, default=0)
@@ -155,7 +163,8 @@ def main(argv=None):
         dtype=jnp.bfloat16,
     )
     state = create_train_state(
-        model, jax.random.key(args.seed), jnp.zeros((1, K, K, BANDS)),
+        model, jax.random.key(args.seed),
+        jnp.zeros((1, args.tile, args.tile, BANDS)),
         tx=optax.adam(args.lr),
     )
     loss_fn = lambda y, p: losses.weighted_bce(y, p, pos_weight=args.pos_weight, logits=True)
@@ -168,10 +177,14 @@ def main(argv=None):
     log = open(args.out, "a")
 
     print(f"solar convergence: {args.train_size} chips x {args.epochs} epochs, "
-          f"batch {args.batch_size}, space_to_depth={args.space_to_depth}")
+          f"batch {args.batch_size}, tile {args.tile}, "
+          f"space_to_depth={args.space_to_depth}")
+    chip_fn = (make_chip if args.tile == K
+               else lambda split, index: make_chip(split, index, k=args.tile))
     state, best = run_convergence(
-        state, train_step, eval_step, make_chip, args, log,
-        extra_record={"space_to_depth": args.space_to_depth},
+        state, train_step, eval_step, chip_fn, args, log,
+        extra_record={"space_to_depth": args.space_to_depth,
+                      "tile": args.tile},
     )
 
     if args.scene_eval:

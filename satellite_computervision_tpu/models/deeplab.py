@@ -248,3 +248,62 @@ def load_torch_resnet_weights(params, state_dict_path: str, batch_stats=None):
                 copy_bn(tgt, stats, "downsample_bn", f"{layer}.{block}.downsample.1")
             block += 1
     return params, batch_stats
+
+
+def export_torch_resnet_weights(params, batch_stats, path: str):
+    """Inverse of :func:`load_torch_resnet_weights`: write the ``backbone``
+    subtree of a DeepLabV3Plus params/batch_stats pair as a torchvision-
+    layout ResNet ``state_dict`` (.pth).
+
+    Two uses: (a) publish a JAX-trained backbone to torch users in the
+    format torchvision consumers already load, and (b) the warm-start
+    workflow rehearsal — a backbone pretrained here round-trips through
+    the exact file format a real torchvision checkpoint arrives in
+    (README.md:8's "pretrained ResNet"), so ``scripts/train.py
+    --torch-weights`` is exercised end-to-end without egress. Kernel
+    layout flax HWIO -> torch OIHW; BN scale/bias -> weight/bias and
+    mean/var -> running_mean/running_var (plus ``num_batches_tracked``
+    zeros, which real torchvision files carry and the loader tolerates).
+    """
+    import numpy as np
+    import torch  # CPU-only in this image
+
+    def t_kernel(k):
+        return torch.from_numpy(
+            np.ascontiguousarray(np.transpose(np.asarray(k, np.float32), (3, 2, 0, 1)))
+        )
+
+    sd = {}
+
+    def t_vec(v):
+        # np.array copy: jax buffers expose non-writable views that
+        # torch.from_numpy warns about
+        return torch.from_numpy(np.array(v, np.float32))
+
+    def put_bn(param_src, stats_src, flax_name, torch_prefix):
+        sd[f"{torch_prefix}.weight"] = t_vec(param_src[flax_name]["scale"])
+        sd[f"{torch_prefix}.bias"] = t_vec(param_src[flax_name]["bias"])
+        sd[f"{torch_prefix}.running_mean"] = t_vec(stats_src[flax_name]["mean"])
+        sd[f"{torch_prefix}.running_var"] = t_vec(stats_src[flax_name]["var"])
+        sd[f"{torch_prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    backbone = params["backbone"]
+    bb_stats = batch_stats["backbone"]
+    sd["conv1.weight"] = t_kernel(backbone["stem_conv"]["kernel"])
+    put_bn(backbone, bb_stats, "stem_bn", "bn1")
+    for si, layer in enumerate(["layer1", "layer2", "layer3", "layer4"]):
+        block = 0
+        while f"stage{si + 1}_block{block}" in backbone:
+            name = f"stage{si + 1}_block{block}"
+            src, stats = backbone[name], bb_stats[name]
+            for ci in (1, 2, 3):
+                sd[f"{layer}.{block}.conv{ci}.weight"] = t_kernel(
+                    src[f"conv{ci}"]["kernel"])
+                put_bn(src, stats, f"bn{ci}", f"{layer}.{block}.bn{ci}")
+            if "downsample_conv" in src:
+                sd[f"{layer}.{block}.downsample.0.weight"] = t_kernel(
+                    src["downsample_conv"]["kernel"])
+                put_bn(src, stats, "downsample_bn", f"{layer}.{block}.downsample.1")
+            block += 1
+    torch.save(sd, path)
+    return sd

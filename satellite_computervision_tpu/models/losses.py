@@ -30,7 +30,7 @@ def weighted_categorical_crossentropy(y_true, y_pred, weights, axis: int = -1, r
 
 
 def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
-             ref_compat: bool = False):
+             ref_compat: bool = False, batch_counts: bool = False):
     """Generalized dice loss on (B, H, W, C) one-hot labels + probabilities.
 
     Flattens to (B, H*W, C); class weights are ``1/count^2`` per batch
@@ -47,6 +47,16 @@ def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
     shipped code runs (the per-pixel weight sum factors out of both
     numerator and denominator, so it equals unweighted dice); for C > 1
     with H*W != C it raises the same broadcast error the TF original does.
+
+    ``batch_counts=True`` pools the class counts over the WHOLE batch
+    (Sudre et al. 2017's formulation, ``w_l = 1/(sum_n r_ln)^2`` with n
+    over all batch pixels) instead of per batch element. Per-element
+    counts explode when a class has only a few pixels in one element
+    (count 1 -> weight 1.0 vs ~1e-8 for the others, a 1e8 gradient
+    spike) — measured in examples/landcover_convergence.py as a
+    catastrophic epoch-level collapse and a persistently dead
+    mid-frequency class. Recommended for multiclass training; off by
+    default to preserve the established per-element semantics.
     """
     y_true = jnp.asarray(y_true, jnp.float32)
     y_pred = jnp.asarray(y_pred, jnp.float32)
@@ -63,6 +73,11 @@ def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
         counts = jnp.sum(y_true, axis=-1)
         weights = 1.0 / (counts**2)
         weights = jnp.where(jnp.isfinite(weights), weights, eps)
+    elif batch_counts:
+        counts = jnp.sum(y_true, axis=(0, 1))  # (C,) whole-batch counts
+        weights = 1.0 / (counts**2)
+        weights = jnp.where(jnp.isfinite(weights), weights, eps)
+        weights = jnp.reshape(weights, (1, c))
     else:
         counts = jnp.sum(y_true, axis=1)  # (B, C) per-class pixel counts
         weights = 1.0 / (counts**2)

@@ -9,7 +9,10 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 from satellite_computervision_tpu.models import DeepLabV3Plus
-from satellite_computervision_tpu.models.deeplab import load_torch_resnet_weights
+from satellite_computervision_tpu.models.deeplab import (
+    export_torch_resnet_weights,
+    load_torch_resnet_weights,
+)
 
 
 def _synthetic_resnet_state_dict(stage_sizes=(1, 1, 1, 1), torchvision_extras=False):
@@ -173,3 +176,46 @@ def test_full_resnet50_schema_every_backbone_leaf_loads(tmp_path):
         model.apply({"params": loaded, "batch_stats": loaded_stats}, x)["probs"]
     )
     assert not np.allclose(before, after)
+
+
+def test_export_roundtrip_is_identity(tmp_path):
+    """export_torch_resnet_weights is the exact inverse of the loader:
+    a flax backbone exported to torchvision layout and loaded back lands
+    bit-identically on every conv/BN/stat leaf, and the exported file
+    carries the torchvision key schema (incl. num_batches_tracked) so a
+    torch consumer can read it."""
+    model = DeepLabV3Plus(n_classes=1, stage_sizes=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(42), x)
+    params = jax.device_get(variables["params"])
+    batch_stats = jax.device_get(variables["batch_stats"])
+
+    path = str(tmp_path / "exported.pth")
+    sd = export_torch_resnet_weights(params, batch_stats, path)
+    # torchvision schema present
+    assert "conv1.weight" in sd and "bn1.num_batches_tracked" in sd
+    assert sd["layer2.0.downsample.0.weight"].shape == (512, 256, 1, 1)
+
+    # round-trip onto a DIFFERENT init must restore the original exactly
+    other = jax.device_get(model.init(jax.random.key(7), x))
+    loaded, loaded_stats = load_torch_resnet_weights(
+        other["params"], path, other["batch_stats"])
+
+    def flat(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}/"))
+            else:
+                out[f"{prefix}{k}"] = np.asarray(v)
+        return out
+
+    want = flat(params["backbone"])
+    got = flat(loaded["backbone"])
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    want_st = flat(batch_stats["backbone"])
+    got_st = flat(loaded_stats["backbone"])
+    for k in want_st:
+        np.testing.assert_array_equal(got_st[k], want_st[k], err_msg=k)

@@ -79,6 +79,46 @@ def test_gen_dice_ref_compat_multiclass_raises_like_reference():
         losses.gen_dice(onehot, onehot, ref_compat=True)
 
 
+def test_gen_dice_batch_counts_pools_over_batch():
+    """batch_counts=True uses Sudre et al.'s whole-batch class counts:
+    equivalent to global_weights computed from the pooled batch, and —
+    the stability property that motivates it — a class with one pixel in
+    one batch element but many in another no longer gets the per-element
+    1/count^2 = 1.0 weight explosion."""
+    rng = np.random.default_rng(5)
+    labels = rng.integers(0, 3, (4, 8, 8))
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    pred = rng.dirichlet(np.ones(3), size=(4, 8, 8)).astype(np.float32)
+
+    counts = onehot.reshape(-1, 3).sum(0)
+    want = float(losses.gen_dice(onehot, pred,
+                                 global_weights=1.0 / counts**2))
+    got = float(losses.gen_dice(onehot, pred, batch_counts=True))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    # stability: element 0 has exactly ONE pixel of class 1; per-element
+    # weighting gives it weight 1.0 (vs ~2.5e-4 for background) and a
+    # miss there dominates the whole loss, while batch pooling prices it
+    # by the class's true batch frequency — >10x smaller here
+    labels = np.zeros((2, 8, 8), np.int64)
+    labels[0, 0, 0] = 1
+    labels[1, :4] = 1  # plenty of class-1 pixels in the other element
+    onehot = np.eye(2, dtype=np.float32)[labels]
+    miss = onehot.copy()
+    miss[0, 0, 0] = [1.0, 0.0]
+    per_element = float(losses.gen_dice(onehot, miss))
+    pooled = float(losses.gen_dice(onehot, miss, batch_counts=True))
+    assert per_element > 10 * pooled
+
+
+def test_gen_dice_perfect_prediction_batch_counts():
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 3, (2, 8, 8))
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    loss = float(losses.gen_dice(onehot, onehot, batch_counts=True))
+    assert loss == pytest.approx(0.0, abs=1e-4)
+
+
 def test_gen_dice_global_weights():
     labels = np.zeros((1, 4, 4), np.int64)
     onehot = np.eye(2, dtype=np.float32)[labels]
