@@ -346,6 +346,49 @@ def device_metrics(model, variables, scene_u16):
     out["train_ms_per_step"] = round(train_t * 1e3, 1)
     tflops = _flops_of(step, state, (x, y))
     out["train_mfu"] = round(tflops / train_t / PEAK_FLOPS, 3)
+
+    def timed_step(tmodel, x, y):
+        state = create_train_state(tmodel, jax.random.key(0), x)
+        step = make_train_step(
+            lambda t, p: weighted_bce(t, p, pos_weight=2.0, logits=True),
+            donate=False,
+        )
+        state, m = step(state, (x, y))
+        np.asarray(m["loss"])  # warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            state, m = step(state, (x, y))
+            np.asarray(m["loss"])
+            best = min(best, time.perf_counter() - t0)
+        return _sub_floor(best - floor, 0.0), _flops_of(step, state, (x, y))
+
+    # tuned train geometry (bench.py --probe-traingeo, measured r4):
+    # batch 64 at the SAME 256^2 tile — 17.4% MFU / 25.7 MPix/s vs the
+    # reference config's 12.1% / 17.9 (b16 256^2). Bigger tiles LOSE at
+    # equal batch (b16 512^2 = 14.1%, b4 512^2 = 6.7%): batch is the
+    # XLA conv-tiling lever here, and it applies to TFRecord-fed
+    # training too (no chip re-cut needed), so SOLAR_CONFIG carries
+    # train_batch=64.
+    xt = jnp.asarray(rng.normal(size=(64, 256, 256, 6)).astype(np.float32))
+    yt = jnp.asarray(
+        (rng.uniform(size=(64, 256, 256, 1)) > 0.8).astype(np.float32))
+    t_tuned, fl = timed_step(tmodel, xt, yt)
+    out["train_tuned_ms_per_step"] = round(t_tuned * 1e3, 1)
+    out["train_mfu_tuned"] = round(fl / t_tuned / PEAK_FLOPS, 3)
+
+    # S2D train step (VERDICT r3 #2-weak): the space-to-depth stem's lane
+    # fix measured on the TRAIN path too — quality at full config is
+    # proven (IoU 0.9950 vs 0.9947 plain, runs/solar_convergence_s2d.jsonl,
+    # ~1.8x faster epochs), so its train MFU belongs in the driver JSON.
+    s2d_tmodel = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
+        space_to_depth=True,
+    )
+    t_s2dtr, fl = timed_step(s2d_tmodel, x, y)
+    out["train_s2d_ms_per_step"] = round(t_s2dtr * 1e3, 1)
+    out["train_mfu_s2d"] = round(fl / t_s2dtr / PEAK_FLOPS, 3)
     return out
 
 

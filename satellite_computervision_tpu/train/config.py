@@ -46,6 +46,15 @@ class TrainConfig:
     serve_kernel: Optional[int] = None
     serve_buffer: Optional[int] = None
     serve_batch: Optional[int] = None
+    # Measured TRAINING geometry. train_batch applies to EVERY training
+    # path (batch needs no chip re-cut); train_tile only to generator-fed
+    # training, where chip size is a free preprocessing choice
+    # (data/chip_generators.py cuts from larger arrays at any size — the
+    # reference's 256^2 is just its export format) — TFRecord-fed
+    # training keeps kernel_size (serialized chips can't be re-cut).
+    # bench.py --probe-traingeo measures the MXU-efficient split.
+    train_tile: Optional[int] = None
+    train_batch: Optional[int] = None
 
     @property
     def serving_geometry(self) -> Tuple[int, int, int]:
@@ -54,6 +63,15 @@ class TrainConfig:
             self.serve_kernel or self.kernel_size,
             self.serve_buffer if self.serve_buffer is not None else self.kernel_buffer,
             self.serve_batch or self.batch_size,
+        )
+
+    @property
+    def training_geometry(self) -> Tuple[int, int]:
+        """(tile, batch) for generator-fed training: the measured MXU
+        winner when one exists, else the reference chip config."""
+        return (
+            self.train_tile or self.kernel_size,
+            self.train_batch or self.batch_size,
         )
 
     @property
@@ -89,6 +107,13 @@ SOLAR_CONFIG = TrainConfig(
     serve_kernel=512,
     serve_buffer=128,
     serve_batch=16,
+    # measured TRAIN geometry (bench.py --probe-traingeo, v5e): batch 64
+    # at the same 256^2 tile = 17.4% MFU / 25.7 MPix/s vs batch-16's
+    # 12.1% / 17.9 — and bigger tiles LOSE at equal batch (b16 512^2 =
+    # 14.1%, b4 512^2 = 6.7%). Batch applies to TFRecord-fed training
+    # too; tile stays the export size. Quality at batch 64 verified in
+    # runs/solar_convergence_b64.jsonl.
+    train_batch=64,
 )
 
 # Parking-lot model on NAIP RGB (parking notebook cells 16, 39, 58).

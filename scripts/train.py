@@ -62,7 +62,13 @@ def _build_npy_dataset(args, cfg, batch):
         SiameseChipDataset,
     )
 
-    k = (cfg.kernel_size, cfg.kernel_size)
+    # the measured training geometry applies to GENERATOR-fed training
+    # only: chip_generators crop at any size from larger source arrays,
+    # while serialized TFRecords are fixed at export size (train/config.py
+    # train_tile/train_batch; bench.py --probe-traingeo measures the MXU
+    # winner — larger tiles lift the shallow levels' lane utilization)
+    tile, _ = cfg.training_geometry
+    k = (tile, tile)
     if args.model == "siamese":
         if not (args.before and args.after and args.labels):
             sys.exit("siamese needs --before/--after/--labels npy globs")
@@ -148,7 +154,10 @@ def main(argv=None):
     cfg = CONFIGS[args.config]
     args.model = args.model or cfg.family
     family = get_family(args.model)
-    batch = args.batch_size or cfg.batch_size
+    # measured training batch first (train/config.py train_batch — the
+    # --probe-traingeo winner; works for TFRecords too since batch needs
+    # no chip re-cut), then the reference config's batch
+    batch = args.batch_size or cfg.train_batch or cfg.batch_size
     epochs = args.epochs or cfg.epochs
     lr = args.lr or cfg.learning_rate
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

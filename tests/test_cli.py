@@ -415,3 +415,43 @@ def _write_parking_like_chips(path, n=4, k=64, seed=0):
         ex["impervious"] = label.reshape(-1)
         examples.append(ex)
     write_tfrecord_file(str(path), examples)
+
+
+def test_npy_dataset_uses_measured_training_geometry(tmp_path):
+    """Generator-fed training consumes the preset's measured training
+    geometry (train/config.py train_tile/train_batch): chips are cropped
+    at train_tile (chip_generators cut from larger arrays at any size —
+    the reference's 256^2 is an export format, not a constraint), while
+    TFRecord-fed paths keep kernel_size (serialized chips can't be
+    re-cut)."""
+    import argparse
+    import dataclasses
+
+    import train as train_cli
+
+    from satellite_computervision_tpu.train.config import CHANGE_CONFIG
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(tmp_path / f"b{i}.npy",
+                rng.uniform(0, 3000, (4, 96, 96)).astype(np.float32))
+        np.save(tmp_path / f"a{i}.npy",
+                rng.uniform(0, 3000, (4, 96, 96)).astype(np.float32))
+        np.save(tmp_path / f"l{i}.npy",
+                (rng.uniform(size=(1, 96, 96)) > 0.7).astype(np.float32))
+
+    cfg = dataclasses.replace(CHANGE_CONFIG, kernel_size=256,
+                              train_tile=64, train_batch=2)
+    assert cfg.training_geometry == (64, 2)
+    args = argparse.Namespace(
+        model="siamese", before=str(tmp_path / "b*.npy"),
+        after=str(tmp_path / "a*.npy"), labels=str(tmp_path / "l*.npy"),
+        seed=0)
+    ds = train_cli._build_npy_dataset(args, cfg, cfg.training_geometry[1])
+    assert ds.unet_dim == (64, 64)
+    x, y = ds[0]
+    assert x[0].shape == (2, 64, 64, 4)
+
+    # unset -> falls back to the reference chip geometry
+    plain = dataclasses.replace(CHANGE_CONFIG, kernel_size=96)
+    assert plain.training_geometry == (96, plain.batch_size)

@@ -96,7 +96,10 @@ def test_process_bootstrap_matches_single_process(tmp_path, n_proc):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # generous: n_proc jit-compiling workers share this 1-core
+            # host, and anything else running concurrently (a TPU example
+            # generating chips) stretches wall time 2-3x (DEVNOTES.md)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:

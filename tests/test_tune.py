@@ -164,3 +164,10 @@ def test_preset_serving_geometry_defaults():
     assert CONFIGS["solar"].serving_geometry == (512, 128, 16)
     ch = CONFIGS["change"]
     assert ch.serving_geometry == (ch.kernel_size, ch.kernel_buffer, ch.batch_size)
+
+    # training geometry: solar carries the measured batch-64 winner
+    # (bench.py --probe-traingeo: 17.4% MFU vs 12.1% at batch 16; tile
+    # stays the 256^2 export size — bigger tiles measured WORSE at equal
+    # batch); unmeasured presets fall back to the reference config
+    assert CONFIGS["solar"].training_geometry == (256, 64)
+    assert ch.training_geometry == (ch.kernel_size, ch.batch_size)
