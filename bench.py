@@ -389,6 +389,12 @@ def device_metrics(model, variables, scene_u16):
     t_s2dtr, fl = timed_step(s2d_tmodel, x, y)
     out["train_s2d_ms_per_step"] = round(t_s2dtr * 1e3, 1)
     out["train_mfu_s2d"] = round(fl / t_s2dtr / PEAK_FLOPS, 3)
+    # pixels-trained/s: the architecture-neutral train metric (MFU is
+    # relative to each network's OWN FLOPs — S2D folds the shallow
+    # levels so its MFU reads low while its wall-clock is ~1.7x faster)
+    out["train_mpix"] = round(16 * 256 * 256 / train_t / 1e6, 1)
+    out["train_mpix_tuned"] = round(64 * 256 * 256 / t_tuned / 1e6, 1)
+    out["train_mpix_s2d"] = round(16 * 256 * 256 / t_s2dtr / 1e6, 1)
     return out
 
 
