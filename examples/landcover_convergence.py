@@ -149,6 +149,12 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=9e-4)
     ap.add_argument("--out", default="runs/landcover_convergence.jsonl")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene-eval", action="store_true",
+                    help="after training, score the BEST state's mean IoU "
+                    "over a held-out 1024^2 scene through the tiled "
+                    "engine (hann + whole modes) — multiclass scene "
+                    "serving parity, the softmax analog of "
+                    "solar_convergence --scene-eval")
     args = ap.parse_args(argv)
 
     model = UNet(
@@ -186,7 +192,45 @@ def main(argv=None):
                          if args.loss == "gen_dice" else {})},
         num_classes=NCLASS,
         metrics_fn=lambda cm: multiclass_metrics(cm, CLASSES),
+        keep_best_state=args.scene_eval,
     )
+
+    scene_miou = None
+    if args.scene_eval:
+        # multiclass scene serving: one 1024^2 scene tiled from unseen
+        # chips through the tiled engine (out_channels=8 softmax maps),
+        # argmax -> per-class confusion -> mean IoU per engine mode
+        from satellite_computervision_tpu.inference import TiledInferenceEngine
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        predict = lambda chips: model.apply(variables, chips)["probs"]
+        g = 4
+        tiles = [make_chip("scene", i) for i in range(g * g)]
+        scene = np.concatenate(
+            [np.concatenate([tiles[r * g + c][0] for c in range(g)], 1)
+             for r in range(g)], 0)
+        labels = np.argmax(np.concatenate(
+            [np.concatenate([tiles[r * g + c][1] for c in range(g)], 1)
+             for r in range(g)], 0), -1)
+
+        scene_miou = {}
+        for mode, kw in [
+            ("hann", dict(blend="hann", index_mode="grid")),
+            ("whole", dict(tile_mode="whole", whole_multiple=16)),
+        ]:
+            eng = TiledInferenceEngine(
+                predict, kernel=K, buffer=128, batch_size=8,
+                out_channels=NCLASS, **kw)
+            probs = np.asarray(eng.predict_scene(jnp.asarray(scene)))
+            pred = np.argmax(probs, -1)
+            cm = np.zeros((NCLASS, NCLASS), np.float64)
+            np.add.at(cm, (labels.reshape(-1), pred.reshape(-1)), 1.0)
+            scene_miou[mode] = round(multiclass_metrics(cm)["mean_iou"], 4)
+        print("SCENE_EVAL " + json.dumps(scene_miou))
+        log.write(json.dumps({"scene_eval_mean_iou": scene_miou,
+                              "loss_name": args.loss}) + "\n")
+        log.flush()
+
     summary = {"loss_name": args.loss,
                "final": {k: round(float(v), 4) for k, v in best.items()},
                "config": vars(args)}
