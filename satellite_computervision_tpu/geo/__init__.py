@@ -9,6 +9,7 @@ from satellite_computervision_tpu.geo.geotiff import (
     write_geotiff,
     write_cog,
     read_geotiff,
+    GeoTiffScene,
 )
 from satellite_computervision_tpu.geo.transforms import (
     Affine,
@@ -27,6 +28,7 @@ __all__ = [
     "write_geotiff",
     "write_cog",
     "read_geotiff",
+    "GeoTiffScene",
     "Affine",
     "geo_transform_from_mixer",
     "pixel_to_geo",

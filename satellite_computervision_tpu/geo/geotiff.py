@@ -333,84 +333,47 @@ def write_cog(
 # ---------------------------------------------------------------------------
 
 
-def read_geotiff(path: str, page: int = 0):
-    """Read an (H, W, C) array + metadata dict from a GeoTIFF written by
-    this module (and simple single-plane TIFFs generally)."""
-    with open(path, "rb") as f:
-        blob = f.read()
-    if blob[:4] not in (b"II*\x00",):
+def _parse_page_tags(f, page: int = 0):
+    """Parse one IFD's tags from an open file. Seek-based: only the
+    directory (and out-of-line tag payloads) are read, never the raster
+    data — the basis of the windowed reader below."""
+    f.seek(0)
+    header = f.read(8)
+    if header[:4] != b"II*\x00":
         raise ValueError("not a little-endian classic TIFF")
-    (ifd_offset,) = struct.unpack_from("<I", blob, 4)
+    (ifd_offset,) = struct.unpack_from("<I", header, 4)
     for _ in range(page):
-        (count,) = struct.unpack_from("<H", blob, ifd_offset)
-        (ifd_offset,) = struct.unpack_from("<I", blob, ifd_offset + 2 + count * 12)
+        f.seek(ifd_offset)
+        (count,) = struct.unpack("<H", f.read(2))
+        f.seek(ifd_offset + 2 + count * 12)
+        (ifd_offset,) = struct.unpack("<I", f.read(4))
         if ifd_offset == 0:
             raise IndexError("page out of range")
-
-    (count,) = struct.unpack_from("<H", blob, ifd_offset)
+    f.seek(ifd_offset)
+    (count,) = struct.unpack("<H", f.read(2))
+    entries = f.read(count * 12)
     tags = {}
     for i in range(count):
-        tag, type_, n = struct.unpack_from("<HHI", blob, ifd_offset + 2 + i * 12)
-        value_off = ifd_offset + 2 + i * 12 + 8
+        tag, type_, n = struct.unpack_from("<HHI", entries, i * 12)
         size = _TYPE_SIZES[type_] * n
         if size > 4:
-            (data_off,) = struct.unpack_from("<I", blob, value_off)
+            (data_off,) = struct.unpack_from("<I", entries, i * 12 + 8)
+            f.seek(data_off)
+            payload = f.read(size)
         else:
-            data_off = value_off
+            payload = entries[i * 12 + 8 : i * 12 + 8 + size]
         if type_ == _TYPE_ASCII:
-            tags[tag] = blob[data_off : data_off + n].rstrip(b"\x00").decode("ascii")
+            tags[tag] = payload.rstrip(b"\x00").decode("ascii")
         else:
             fmt = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B"}[type_]
+            step = _TYPE_SIZES[type_]
             tags[tag] = [
-                struct.unpack_from(fmt, blob, data_off + j * _TYPE_SIZES[type_])[0]
-                for j in range(n)
+                struct.unpack_from(fmt, payload, j * step)[0] for j in range(n)
             ]
+    return tags
 
-    w = tags[_IMAGE_WIDTH][0]
-    h = tags[_IMAGE_LENGTH][0]
-    c = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
-    bits = tags[_BITS_PER_SAMPLE][0]
-    sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
-    compression = tags.get(_COMPRESSION, [1])[0]
-    dtype = {
-        (1, 8): np.uint8,
-        (1, 16): np.uint16,
-        (1, 32): np.uint32,
-        (2, 16): np.int16,
-        (2, 32): np.int32,
-        (3, 32): np.float32,
-        (3, 64): np.float64,
-    }[(sample_format, bits)]
 
-    def decode(off, n_bytes):
-        raw = blob[off : off + n_bytes]
-        return zlib.decompress(raw) if compression == 8 else raw
-
-    out = np.zeros((h, w, c), dtype)
-    if _TILE_OFFSETS in tags:
-        ts = tags[_TILE_WIDTH][0]
-        offsets = tags[_TILE_OFFSETS]
-        counts = tags[_TILE_BYTE_COUNTS]
-        i = 0
-        for ty in range(0, h, ts):
-            for tx in range(0, w, ts):
-                raw = decode(offsets[i], counts[i])
-                tile = np.frombuffer(raw, dtype).reshape(ts, ts, c)
-                out[ty : ty + ts, tx : tx + ts] = tile[
-                    : min(ts, h - ty), : min(ts, w - tx)
-                ]
-                i += 1
-    else:
-        rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
-        offsets = tags[_STRIP_OFFSETS]
-        counts = tags[_STRIP_BYTE_COUNTS]
-        y = 0
-        for off, cnt in zip(offsets, counts):
-            raw = decode(off, cnt)
-            rows = min(rows_per_strip, h - y)
-            out[y : y + rows] = np.frombuffer(raw, dtype).reshape(rows, w, c)
-            y += rows
-
+def _tags_to_meta(tags) -> dict:
     meta = {}
     if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
         sx, sy, _ = tags[_MODEL_PIXEL_SCALE]
@@ -428,4 +391,119 @@ def read_geotiff(path: str, page: int = 0):
                 meta["crs"] = f"EPSG:{d[j + 3]}"
     if _GDAL_NODATA in tags:
         meta["nodata"] = float(tags[_GDAL_NODATA])
-    return out, meta
+    return meta
+
+
+class GeoTiffScene:
+    """Lazy windowed GeoTIFF reader: parses the IFD once, then reads ONLY
+    the strips/tiles a requested window touches (one short-lived file
+    handle per read — safe from the banded pipeline's staging thread).
+
+    Drop-in scene for ``TiledInferenceEngine`` banded streaming
+    (``max_rows``): host memory stays O(band), so scenes larger than RAM
+    serve straight from disk. The reference materializes whole scenes
+    through xarray before chipping (utils/pc_tools.py:620-668,
+    utils/prediction_tools.py:731-779).
+
+    Indexing: ``scene[r0:r1]``, ``scene[r0:r1, c0:c1]`` (unit step)
+    returns an (rows, cols, C) NumPy array; ``np.asarray(scene)`` reads
+    everything.
+    """
+
+    lazy = True  # TiledInferenceEngine checks this to avoid materializing
+
+    def __init__(self, path: str, page: int = 0):
+        self.path = path
+        with open(path, "rb") as f:
+            tags = self._tags = _parse_page_tags(f, page)
+        w = tags[_IMAGE_WIDTH][0]
+        h = tags[_IMAGE_LENGTH][0]
+        c = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+        bits = tags[_BITS_PER_SAMPLE][0]
+        sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
+        self._compression = tags.get(_COMPRESSION, [1])[0]
+        self.dtype = np.dtype(
+            {
+                (1, 8): np.uint8,
+                (1, 16): np.uint16,
+                (1, 32): np.uint32,
+                (2, 16): np.int16,
+                (2, 32): np.int32,
+                (3, 32): np.float32,
+                (3, 64): np.float64,
+            }[(sample_format, bits)]
+        )
+        self.shape = (h, w, c)
+        self.meta = _tags_to_meta(tags)
+        self.nodata = self.meta.get("nodata")
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+    def _decode(self, f, off, n_bytes):
+        f.seek(off)
+        raw = f.read(n_bytes)
+        return zlib.decompress(raw) if self._compression == 8 else raw
+
+    @staticmethod
+    def _axis_range(key, size):
+        if isinstance(key, slice):
+            lo, hi, step = key.indices(size)
+            if step != 1:
+                raise IndexError("GeoTiffScene supports unit-step slices only")
+            return lo, max(lo, hi)
+        raise IndexError("GeoTiffScene supports slice indexing only")
+
+    def __getitem__(self, key) -> np.ndarray:
+        h, w, c = self.shape
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > 3:
+            raise IndexError("too many indices")
+        key = key + (slice(None),) * (3 - len(key))
+        r0, r1 = self._axis_range(key[0], h)
+        c0, c1 = self._axis_range(key[1], w)
+        b0, b1 = self._axis_range(key[2], c)
+        out = np.zeros((r1 - r0, c1 - c0, c), self.dtype)
+        tags = self._tags
+        with open(self.path, "rb") as f:
+            if _TILE_OFFSETS in tags:
+                ts = tags[_TILE_WIDTH][0]
+                tl = tags.get(_TILE_LENGTH, [ts])[0]
+                tiles_across = -(-w // ts)
+                offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+                for ty in range(r0 // tl * tl, r1, tl):
+                    for tx in range(c0 // ts * ts, c1, ts):
+                        i = (ty // tl) * tiles_across + tx // ts
+                        raw = self._decode(f, offsets[i], counts[i])
+                        tile = np.frombuffer(raw, self.dtype).reshape(tl, ts, c)
+                        ylo, yhi = max(ty, r0), min(ty + tl, r1, h)
+                        xlo, xhi = max(tx, c0), min(tx + ts, c1, w)
+                        out[ylo - r0 : yhi - r0, xlo - c0 : xhi - c0] = tile[
+                            ylo - ty : yhi - ty, xlo - tx : xhi - tx
+                        ]
+            else:
+                rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+                offsets, counts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
+                for si in range(r0 // rps, -(-r1 // rps)):
+                    if si >= len(offsets):
+                        break
+                    sy = si * rps
+                    raw = self._decode(f, offsets[si], counts[si])
+                    rows = min(rps, h - sy)
+                    strip = np.frombuffer(raw, self.dtype).reshape(rows, w, c)
+                    ylo, yhi = max(sy, r0), min(sy + rows, r1)
+                    out[ylo - r0 : yhi - r0] = strip[ylo - sy : yhi - sy, c0:c1]
+        return out[..., b0:b1]
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self[:, :]
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+def read_geotiff(path: str, page: int = 0):
+    """Read an (H, W, C) array + metadata dict from a GeoTIFF written by
+    this module (and simple single-plane TIFFs generally)."""
+    scene = GeoTiffScene(path, page)
+    return scene[:, :], scene.meta

@@ -80,6 +80,7 @@ class TiledInferenceEngine:
         pallas_blend=False,
         tile_mode: str = "chips",
         whole_multiple: int = 32,
+        nodata: Optional[float] = None,
     ):
         if blend not in ("overwrite", "sum", "hann"):
             raise ValueError(f"unknown blend mode {blend!r}")
@@ -129,6 +130,19 @@ class TiledInferenceEngine:
             raise ValueError(f"unknown tile_mode {tile_mode!r}")
         self.tile_mode = tile_mode
         self.whole_multiple = whole_multiple
+        # nodata-aware chip culling: pixels whose EVERY channel equals
+        # ``nodata`` (or is NaN, when ``nodata`` is NaN) are invalid, and
+        # chips whose FULL (side x side) window contains no valid pixel are
+        # skipped entirely — their forward never runs. Real scenes at swath
+        # edges / AOI corners are often 30-60% nodata and the reference
+        # predicts every chip regardless (utils/prediction_tools.py:133-156
+        # walks the whole grid). Exact on valid pixels for BOTH blend
+        # modes: any output pixel a culled chip could touch lies inside the
+        # chip's all-nodata window, so no valid pixel loses a contribution.
+        # Chips mode only (whole mode has no chips to cull); the validity
+        # test runs on host, so scenes should enter as host arrays (a
+        # device-array scene costs one D2H for the mask).
+        self.nodata = nodata
         self._compiled = {}
         self._compiled_batch = {}
 
@@ -182,7 +196,33 @@ class TiledInferenceEngine:
         return cls(predict, **kwargs)
 
     # ------------------------------------------------------------------
-    def _build(self, scene_shape, scene_dtype=jnp.float32, prepadded=False):
+    def _grid_geometry(self, h, w, prepadded=False):
+        """(rows, cols, pad_bottom, pad_right) of the chip grid for an
+        (h, w) scene under the engine's index_mode (single source for
+        _build and the culling path — the two must never disagree)."""
+        kernel, buffer = self.kernel, self.buffer
+        side = kernel + buffer
+        half = buffer // 2
+        if prepadded:
+            rows = (h - buffer) // kernel
+            cols = (w - buffer) // kernel
+            pad_bottom = pad_right = 0
+        elif self.index_mode == "grid":
+            # central windows at [r*kernel, r*kernel + kernel) cover [0, h);
+            # chips read [r*kernel - half, ... + side) -> pad half on
+            # top/left and (rows*kernel + half - h) on bottom/right.
+            rows = -(-h // kernel)
+            cols = -(-w // kernel)
+            pad_bottom = rows * kernel + half - h
+            pad_right = cols * kernel + half - w
+        else:  # reference grid, unpadded
+            rows = len(range(half, h - side, kernel))
+            cols = len(range(half, w - side, kernel))
+            pad_bottom = pad_right = 0
+        return rows, cols, pad_bottom, pad_right
+
+    def _build(self, scene_shape, scene_dtype=jnp.float32, prepadded=False,
+               culled_groups: Optional[int] = None):
         """Compile the scene program. With ``prepadded=True`` the input is
         an already-padded band of shape (rows*kernel + buffer,
         cols*kernel + buffer, C) on the whole-scene chip grid and the full
@@ -260,22 +300,7 @@ class TiledInferenceEngine:
                 return run_whole
             return lambda scene: self.output_transform(run_whole(scene))
 
-        if prepadded:
-            rows = (h - buffer) // kernel
-            cols = (w - buffer) // kernel
-            pad_bottom = pad_right = 0
-        elif mode == "grid":
-            # central windows at [r*kernel, r*kernel + kernel) cover [0, h);
-            # chips read [r*kernel - half, ... + side) -> pad half on top/left
-            # and (rows*kernel + half - h) on bottom/right.
-            rows = -(-h // kernel)
-            cols = -(-w // kernel)
-            pad_bottom = rows * kernel + half - h
-            pad_right = cols * kernel + half - w
-        else:  # reference grid, unpadded
-            rows = len(range(half, h - side, kernel))
-            cols = len(range(half, w - side, kernel))
-            pad_bottom = pad_right = 0
+        rows, cols, pad_bottom, pad_right = self._grid_geometry(h, w, prepadded)
 
         n = rows * cols
         if n == 0:
@@ -307,30 +332,19 @@ class TiledInferenceEngine:
         preprocess_fn = self.preprocess_fn
         output_transform = self.output_transform
 
-        def run(scene):
+        def prep(scene):
             if preprocess_fn is not None:
                 scene = preprocess_fn(scene)
             scene = scene.astype(jnp.float32)
             if prepadded or mode != "grid":
-                padded = scene
-            else:
-                # edge-replicate so convs near scene borders see plausible
-                # context instead of zeros
-                padded = jnp.pad(
-                    scene, ((half, pad_bottom), (half, pad_right), (0, 0)), mode="edge"
-                )
-            # Statically unrolled groups: one big batched forward per group.
-            # (A lax.map/scan formulation measured ~3x slower end-to-end on
-            # v5e than the unrolled same-shape calls; with batch_size >= n
-            # the whole scene is ONE forward.)
-            corner_groups = corners.reshape(n_batches, bsz, 2)
-            preds = jnp.concatenate(
-                [
-                    predict_fn(gather(padded, jnp.asarray(g))).astype(jnp.float32)
-                    for g in corner_groups
-                ]
-            )[:n]
+                return scene
+            # edge-replicate so convs near scene borders see plausible
+            # context instead of zeros
+            return jnp.pad(
+                scene, ((half, pad_bottom), (half, pad_right), (0, 0)), mode="edge"
+            )
 
+        def stitch(preds):
             if blend in ("overwrite", "sum"):
                 crops = preds[:, half : half + kernel, half : half + kernel, :]
                 grid = tile_grid(crops, kernel)
@@ -408,16 +422,159 @@ class TiledInferenceEngine:
             blended = acc * jnp.asarray(inv_w[..., None])
             return extract(blended)
 
+        if culled_groups is None:
+
+            def run(scene):
+                padded = prep(scene)
+                # Statically unrolled groups: one big batched forward per
+                # group. (A lax.map/scan formulation measured ~3x slower
+                # end-to-end on v5e than the unrolled same-shape calls;
+                # with batch_size >= n the whole scene is ONE forward.)
+                corner_groups = corners.reshape(n_batches, bsz, 2)
+                preds = jnp.concatenate(
+                    [
+                        predict_fn(gather(padded, jnp.asarray(g))).astype(jnp.float32)
+                        for g in corner_groups
+                    ]
+                )[:n]
+                return stitch(preds)
+
+            if output_transform is None:
+                return run
+            return lambda scene: output_transform(run(scene))
+
+        # Culled program: the kept-chip corners arrive as a runtime
+        # argument ((culled_groups * bsz, 2), padded by repeating the last
+        # corner), the forward runs on kept chips only, and the results
+        # scatter back onto the full grid (dropped chips stay zero, which
+        # both blend paths treat as "no contribution"). scatter_idx routes
+        # each kept prediction to its grid slot; pad entries route to the
+        # extra slot n, sliced off. One compile per (scene shape,
+        # culled_groups) — culled_groups <= n_batches, so the variant count
+        # is bounded by the grid's group count.
+        def run_culled(scene, corner_groups, scatter_idx):
+            padded = prep(scene)
+            kept = jnp.concatenate(
+                [
+                    predict_fn(gather(padded, corner_groups[g])).astype(jnp.float32)
+                    for g in range(culled_groups)
+                ]
+            )
+            preds = (
+                jnp.zeros((n + 1, side, side, c_out), jnp.float32)
+                .at[scatter_idx]
+                .set(kept)[:n]
+            )
+            return stitch(preds)
+
         if output_transform is None:
-            return run
-        return lambda scene: output_transform(run(scene))
+            return run_culled
+        return lambda scene, cg, si: output_transform(run_culled(scene, cg, si))
 
     # ------------------------------------------------------------------
-    def predict_scene(self, scene) -> jnp.ndarray:
-        """(H, W, C_in) scene -> (H, W, out_channels) stitched prediction."""
+    def chip_validity(self, scene, prepadded: bool = False) -> np.ndarray:
+        """Boolean (rows*cols,) mask in grid order: True where the chip's
+        full (side x side) window holds at least one valid pixel. A pixel
+        is invalid when EVERY channel equals ``self.nodata`` (or is NaN,
+        for a NaN nodata). Host-side (NumPy integral image, O(H*W)); pass
+        the result to ``predict_scene(valid_chips=...)`` to avoid a D2H
+        when the scene is already staged on device."""
+        scene = np.asarray(scene)
+        h, w, _ = scene.shape
+        rows, cols, _, _ = self._grid_geometry(h, w, prepadded)
+        side = self.kernel + self.buffer
+        half = self.buffer // 2
+        if np.isnan(self.nodata):
+            valid2d = ~np.isnan(scene).all(-1)
+        else:
+            valid2d = ~(scene == self.nodata).all(-1)
+        integ = np.zeros((h + 1, w + 1), np.int64)
+        integ[1:, 1:] = valid2d.cumsum(0).cumsum(1)
+        # chip windows in scene coords: grid mode gathers from a scene
+        # edge-padded by half (corner - half); reference mode and
+        # prepadded bands gather as-is (corner). Edge replication copies
+        # in-range pixels, so clipping to the scene preserves the
+        # any-valid answer exactly.
+        off = 0 if (prepadded or self.index_mode == "reference") else -half
+        ys = np.arange(rows) * self.kernel + off
+        xs = np.arange(cols) * self.kernel + off
+        y0, y1 = np.clip(ys, 0, h), np.clip(ys + side, 0, h)
+        x0, x1 = np.clip(xs, 0, w), np.clip(xs + side, 0, w)
+        counts = integ[y1][:, x1] - integ[y0][:, x1] - integ[y1][:, x0] + integ[y0][:, x0]
+        return (counts > 0).ravel()
+
+    def _predict_culled(self, scene, valid_chips=None, prepadded=False):
+        """Nodata-culled scene path. Returns None when the full grid is
+        valid (the cached uncull program is strictly cheaper) so the
+        caller falls through."""
+        h, w, c = scene.shape
+        rows, cols, _, _ = self._grid_geometry(h, w, prepadded)
+        n = rows * cols
+        if n == 0:
+            return None
+        valid = (
+            self.chip_validity(scene, prepadded)
+            if valid_chips is None
+            else np.asarray(valid_chips)
+        )
+        kept = np.flatnonzero(valid)
+        if len(kept) == n:
+            return None
+        if len(kept) == 0:
+            shape = (
+                (rows * self.kernel, cols * self.kernel, self.out_channels)
+                if prepadded
+                else (h, w, self.out_channels)
+            )
+            out = jnp.zeros(shape, jnp.float32)
+            if self.output_transform is not None:
+                out = jax.jit(self.output_transform)(out)
+            return out
+        bsz = self.batch_size
+        groups = -(-len(kept) // bsz)
+        pad = groups * bsz - len(kept)
+        corners = np.asarray(
+            [(r * self.kernel, ci * self.kernel)
+             for r in range(rows) for ci in range(cols)],
+            np.int32,
+        )[kept]
+        scatter = kept.astype(np.int32)
+        if pad:
+            # pad groups with copies of the last kept chip; their
+            # (identical) predictions scatter to the throwaway slot n
+            corners = np.concatenate([corners, np.repeat(corners[-1:], pad, 0)])
+            scatter = np.concatenate([scatter, np.full(pad, n, np.int32)])
+        key = ("cull", prepadded, h, w, c, str(scene.dtype), groups)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                self._build((h, w, c), jnp.asarray(scene).dtype,
+                            prepadded=prepadded, culled_groups=groups)
+            )
+        return self._compiled[key](
+            jnp.asarray(scene),
+            jnp.asarray(corners.reshape(groups, bsz, 2)),
+            jnp.asarray(scatter),
+        )
+
+    # ------------------------------------------------------------------
+    def predict_scene(self, scene, valid_chips=None) -> jnp.ndarray:
+        """(H, W, C_in) scene -> (H, W, out_channels) stitched prediction.
+
+        With ``nodata`` set on the engine (chips mode), chips whose full
+        window is nodata are culled before the forward; ``valid_chips``
+        optionally supplies a precomputed :meth:`chip_validity` mask so a
+        device-resident scene needs no D2H for the validity test."""
         h, w, _ = scene.shape
         if self.max_rows is not None and h > self.max_rows:
             return self._predict_banded(scene)
+        if getattr(scene, "lazy", False):
+            # lazy file-backed scene (geo.GeoTiffScene) without banding:
+            # nothing bounds memory anyway, so materialize
+            scene = np.asarray(scene)
+        if self.nodata is not None and self.tile_mode == "chips":
+            out = self._predict_culled(scene, valid_chips)
+            if out is not None:
+                return out
         key = (h, w, scene.shape[2], str(scene.dtype))
         if key not in self._compiled:
             impl = self._build(scene.shape, jnp.asarray(scene).dtype)
@@ -466,14 +623,33 @@ class TiledInferenceEngine:
         from satellite_computervision_tpu.data.pipeline import prefetch_to_device
 
         def compute():
-            staged_scenes = prefetch_to_device(
-                (jnp.asarray(s) for s in scenes), size=prefetch
-            )
+            # nodata culling: the validity test is host-side, so compute it
+            # in the staging thread BEFORE each scene ships to the device —
+            # the culled program then runs without any mask D2H. pending is
+            # append-before-stage / pop-in-order, matching the staging
+            # generator's yield order.
+            pending = None
+            if self.nodata is not None and self.tile_mode == "chips":
+                pending = []
+
+                def staged_gen():
+                    for s in scenes:
+                        s_np = np.asarray(s)
+                        pending.append(self.chip_validity(s_np))
+                        yield jnp.asarray(s_np)
+
+                gen = staged_gen()
+            else:
+                gen = (jnp.asarray(s) for s in scenes)
+            staged_scenes = prefetch_to_device(gen, size=prefetch)
             try:
                 for staged in staged_scenes:
                     # program dispatch is async: the device result is
                     # yielded immediately and execution queues on-device
-                    yield self.predict_scene(staged)
+                    yield self.predict_scene(
+                        staged,
+                        valid_chips=pending.pop(0) if pending is not None else None,
+                    )
             finally:
                 # if the consumer abandons the stream early (close() /
                 # error), drain the staging generator so its daemon thread
@@ -528,8 +704,12 @@ class TiledInferenceEngine:
                 except queue.Empty:
                     pass
 
-    def _run_prepadded(self, band_arr):
+    def _run_prepadded(self, band_arr, valid_chips=None):
         band_arr = jnp.asarray(band_arr)
+        if valid_chips is not None:
+            out = self._predict_culled(band_arr, valid_chips, prepadded=True)
+            if out is not None:
+                return out
         key = ("prepad",) + tuple(band_arr.shape) + (str(band_arr.dtype),)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
@@ -559,7 +739,11 @@ class TiledInferenceEngine:
         whole = self.tile_mode == "whole"
         halo = 1 if (self.blend == "hann" and not whole) else 0
         step = max(1, band_rows - 2 * halo)
-        scene = np.asarray(scene)
+        if not getattr(scene, "lazy", False):
+            scene = np.asarray(scene)
+        # else: a file-backed scene (geo.GeoTiffScene) — the band jobs
+        # below slice it directly, so only O(band) rows are ever decoded
+        # into host memory (scenes larger than RAM stream from disk)
 
         # build the band jobs, then run them through a 2-stage pipeline:
         # a staging thread slices/pads band N+1 and ships it to the device
@@ -635,15 +819,27 @@ class TiledInferenceEngine:
         if jobs:
             from satellite_computervision_tpu.data.pipeline import prefetch_to_device
 
+            # nodata culling applies per band (the swath-edge workload IS
+            # the banded one): validity computes on the host band before
+            # it stages, same pattern as predict_scenes
+            cull = self.nodata is not None and not whole
+            pending = []
+
+            def staged_gen():
+                for band_of, _ in jobs:
+                    band = band_of()
+                    if cull:
+                        pending.append(self.chip_validity(band, prepadded=True))
+                    yield jnp.asarray(band)
+
             # size=1 keeps peak residency at 2 band inputs (1 staged + 1
             # computing) — max_rows exists to bound device memory, so the
             # pipeline must not silently triple it
-            staged_bands = prefetch_to_device(
-                (jnp.asarray(band_of()) for band_of, _ in jobs), size=1
-            )
+            staged_bands = prefetch_to_device(staged_gen(), size=1)
             try:
                 for staged, (_, place) in zip(staged_bands, jobs):
-                    piece = np.asarray(self._run_prepadded(staged))
+                    piece = np.asarray(self._run_prepadded(
+                        staged, valid_chips=pending.pop(0) if cull else None))
                     if out is None:
                         # margins (reference mode) stay zero in the piece
                         # dtype, preserving the engine's output_transform

@@ -139,7 +139,9 @@ def tune_engine_geometry(
         h = max_rows
         scene_shape = (h, w, c)
         if scene is not None:
-            scene = np.asarray(scene)[:h]
+            # slice BEFORE asarray so a lazy file-backed scene
+            # (geo.GeoTiffScene) decodes only the tuning band
+            scene = np.asarray(scene[:h])
     if candidates is None:
         candidates = candidate_geometries((h, w), chip_multiple=chip_multiple)
     if scene is None:

@@ -76,6 +76,28 @@ def resolve_serving_geometry(cfg, args, ckpt_dir=None):
     return kernel, buffer, batch, tile_mode, source
 
 
+def load_scene(path, max_rows=None):
+    """Scene input -> ((H, W, C) array, meta dict). ``.npy`` loads bare
+    (empty meta); ``.tif``/``.tiff`` reads through the self-contained
+    GeoTIFF codec and carries transform/crs/nodata defaults from the file
+    so round-tripping a scene through predict preserves georeferencing.
+    With ``max_rows`` set and a taller GeoTIFF, the scene stays
+    file-backed (geo.GeoTiffScene): the banded engine then decodes only
+    O(band) rows at a time — scenes larger than host RAM stream from
+    disk."""
+    if path.endswith((".tif", ".tiff")):
+        from satellite_computervision_tpu.geo import GeoTiffScene
+
+        sc = GeoTiffScene(path)
+        if max_rows is not None and sc.shape[0] > max_rows:
+            return sc, sc.meta
+        return np.asarray(sc), sc.meta
+    scene, meta = np.load(path), {}
+    if scene.ndim == 2:
+        scene = scene[..., None]
+    return scene, meta
+
+
 def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if arch in ("unet", "deeplab"):
@@ -141,6 +163,12 @@ def main(argv=None):
     ap.add_argument("--max-rows", type=int, default=None,
                     help="stream scenes taller than this in full-width bands "
                     "(bounds device memory; works with both tile modes)")
+    ap.add_argument("--nodata", type=float, default=None,
+                    help="cull chips whose full window is this value in "
+                    "every band (accepts 'nan') — skips their forwards "
+                    "entirely, exact on valid pixels; swath-edge scenes are "
+                    "often 30-60%% nodata. Defaults to the input GeoTIFF's "
+                    "nodata tag when present; chips tile-mode only")
     ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
     ap.add_argument("--crs", default="")
     ap.add_argument("--transform", type=float, nargs=6,
@@ -169,8 +197,8 @@ def main(argv=None):
         # utils/pc_tools.py:620-668)
         if not (args.input_before and args.input_after):
             sys.exit("change mode needs --input-before and --input-after")
-        before = np.load(args.input_before)
-        after = np.load(args.input_after)
+        before, meta = load_scene(args.input_before)
+        after, _ = load_scene(args.input_after)
         if before.shape != after.shape:
             sys.exit(f"scene shapes differ: {before.shape} vs {after.shape}")
         nb = before.shape[-1]
@@ -182,26 +210,28 @@ def main(argv=None):
             cfg, args, args.ckpt)
         print(f"serving geometry: k{kernel}+b{buffer} batch {batch} "
               f"({source})")
+        nodata = args.nodata if args.nodata is not None else meta.get("nodata")
         engine = TiledInferenceEngine(
             predict_pair, kernel=kernel, buffer=buffer,
             batch_size=batch, out_channels=1, blend=args.blend,
-            tile_mode=tile_mode, max_rows=args.max_rows,
+            tile_mode=tile_mode, max_rows=args.max_rows, nodata=nodata,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None,
         )
         pred = np.asarray(engine.predict_scene(stack))
         out = args.output or "change.tif"
         writer = write_cog if args.cog else write_geotiff
-        writer(out, pred, transform=tuple(args.transform) if args.transform else None,
-               crs=args.crs)
+        writer(out, pred,
+               transform=tuple(args.transform) if args.transform
+               else meta.get("transform"),
+               crs=args.crs or meta.get("crs", ""))
         print(f"wrote {out} shape={pred.shape}")
         return
 
     if not args.input:
         sys.exit("--input is required for scene/patches modes")
     if args.mode == "scene":
-        scene = np.load(args.input)
-        if scene.ndim == 2:
-            scene = scene[..., None]
+        scene, meta = load_scene(args.input, args.max_rows)
+        nodata = args.nodata if args.nodata is not None else meta.get("nodata")
         out_transform = (lambda p: (p * 255.0).astype(jnp.uint8)) if args.uint8 else None
         if args.tune:
             import os
@@ -221,6 +251,8 @@ def main(argv=None):
             save_tune_table(table, rows)
             print(f"serving with {rows[0].label()} ({rows[0].ms:.1f} ms/scene); "
                   f"table cached at {table} (future runs use it by default)")
+            # tuning times full grids (worst case); serving still culls
+            engine.nodata = nodata
         else:
             kernel, buffer, batch, tile_mode, source = resolve_serving_geometry(
                 cfg, args, args.ckpt)
@@ -230,13 +262,23 @@ def main(argv=None):
                 predict, kernel=kernel, buffer=buffer,
                 batch_size=batch, out_channels=cfg.num_classes,
                 blend=args.blend, tile_mode=tile_mode, max_rows=args.max_rows,
-                output_transform=out_transform,
+                nodata=nodata, output_transform=out_transform,
             )
-        pred = np.asarray(engine.predict_scene(scene))
+        if (nodata is not None and engine.tile_mode == "chips"
+                and isinstance(scene, np.ndarray)):
+            v = engine.chip_validity(scene)
+            print(f"nodata={nodata}: {int(v.sum())}/{len(v)} chips carry "
+                  f"valid pixels; culling the rest")
+            pred = np.asarray(engine.predict_scene(scene, valid_chips=v))
+        else:
+            # lazy/banded scenes cull per band inside the engine
+            pred = np.asarray(engine.predict_scene(scene))
         out = args.output or "prediction.tif"
         writer = write_cog if args.cog else write_geotiff
-        writer(out, pred, transform=tuple(args.transform) if args.transform else None,
-               crs=args.crs)
+        writer(out, pred,
+               transform=tuple(args.transform) if args.transform
+               else meta.get("transform"),
+               crs=args.crs or meta.get("crs", ""))
         print(f"wrote {out} shape={pred.shape}")
         return
 

@@ -101,6 +101,27 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     assert pred_w.shape == (160, 160, 1)
     assert np.isfinite(pred_w).all()
 
+    # GeoTIFF scene input: transform/crs/nodata flow from the file's tags —
+    # the nodata corner culls its chips and georeferencing round-trips
+    from satellite_computervision_tpu.geo import write_geotiff
+
+    scene_nd = scene.copy()
+    scene_nd[:96, :96] = 0.0
+    tif_in = str(tmp_path / "scene_nodata.tif")
+    write_geotiff(tif_in, scene_nd,
+                  transform=(10, 0, 0, 0, -10, 0), crs="EPSG:32617", nodata=0.0)
+    out_cull = str(tmp_path / "pred_cull.tif")
+    predict_cli.main([
+        "scene", "--input", tif_in, "--ckpt", ckpt,
+        "--config", "solar", "--output", out_cull, "--batch-size", "4",
+    ])
+    pred_c, meta_c = read_geotiff(out_cull)
+    assert pred_c.shape == (160, 160, 1)
+    assert "32617" in meta_c["crs"]
+    assert meta_c["transform"][0] == 10.0
+    # the all-nodata chip block contributed nothing
+    assert np.all(pred_c[:32, :32] == 0.0)
+
     # standalone evaluation CLI on the same checkpoint
     import evaluate as evaluate_cli
 

@@ -113,3 +113,31 @@ def test_polygon_centroid_square():
 
 def test_make_window():
     assert make_window(100, 60, 50) == (75, 35, 50, 50)
+
+
+def test_geotiff_scene_windowed_reads(tmp_path, rng):
+    """GeoTiffScene decodes only the strips/tiles a window touches and
+    matches the full read bit-for-bit on both layouts (striped writer,
+    tiled COG writer)."""
+    from satellite_computervision_tpu.geo import GeoTiffScene, write_cog
+
+    arr = rng.uniform(0, 2000, (300, 270, 4)).astype(np.float32)
+    for name, writer in [("striped", write_geotiff), ("cog", write_cog)]:
+        path = str(tmp_path / f"{name}.tif")
+        writer(path, arr, transform=(10, 0, 5, 0, -10, 7),
+               crs="EPSG:32617", nodata=0.0)
+        sc = GeoTiffScene(path)
+        assert sc.shape == arr.shape and sc.dtype == np.float32
+        assert sc.nodata == 0.0 and "32617" in sc.meta["crs"]
+        np.testing.assert_array_equal(np.asarray(sc), arr)
+        for rs, cs in [
+            (slice(0, 7), slice(None)),
+            (slice(100, 262), slice(33, 257)),
+            (slice(-12, None), slice(None, -200)),
+        ]:
+            np.testing.assert_array_equal(sc[rs, cs], arr[rs, cs])
+        np.testing.assert_array_equal(sc[5:20, 8:40, 1:3], arr[5:20, 8:40, 1:3])
+        with pytest.raises(IndexError):
+            sc[::2]
+        with pytest.raises(IndexError):
+            sc[5]

@@ -211,3 +211,129 @@ def test_write_tfrecord_predictions(tmp_path, rng):
     np.testing.assert_allclose(
         back[0]["b1"], preds[0, 4:20, 4:20, 0].reshape(-1), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------- nodata cull
+def _nodata_scene(rng, h=300, w=260, c=3, nodata=0.0):
+    """Scene with an all-nodata top-left quadrant + nodata right margin —
+    the swath-edge shape culling exists for."""
+    scene = rng.normal(size=(h, w, c)).astype(np.float32) + 5.0
+    scene[: h // 2, : w // 2] = nodata
+    scene[:, -40:] = nodata
+    return scene
+
+
+@pytest.mark.parametrize("blend", ["overwrite", "hann"])
+@pytest.mark.parametrize("mode", ["grid", "reference"])
+def test_engine_nodata_cull_exact_on_valid(rng, blend, mode):
+    """Culling chips whose full window is nodata must not change a single
+    valid pixel, for either blend and either index mode: every chip whose
+    window touches a valid pixel is kept, so valid pixels keep their full
+    contribution set."""
+    scene = _nodata_scene(rng)
+    kw = dict(kernel=64, buffer=32, batch_size=4, out_channels=1,
+              blend=blend, index_mode=mode)
+    plain = TiledInferenceEngine(_mean_model, **kw)
+    culled = TiledInferenceEngine(_mean_model, nodata=0.0, **kw)
+    want = np.asarray(plain.predict_scene(scene))
+    got = np.asarray(culled.predict_scene(scene))
+    # a culled program really ran, and it ran fewer forwards
+    cull_keys = [k for k in culled._compiled if k[0] == "cull"]
+    assert len(cull_keys) == 1
+    n_kept = int(culled.chip_validity(scene).sum())
+    n_total = len(culled.chip_validity(scene))
+    assert 0 < n_kept < n_total
+    valid = (scene != 0.0).any(-1)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5, atol=1e-5)
+
+
+def test_engine_nodata_cull_noop_and_all(rng):
+    """A fully valid scene takes the ordinary cached program (no cull
+    compile); an all-nodata scene returns zeros without any forward, in
+    the output_transform's dtype."""
+    import jax.numpy as jnp
+
+    kw = dict(kernel=64, buffer=32, batch_size=4, out_channels=1, blend="hann")
+    engine = TiledInferenceEngine(
+        _mean_model, nodata=0.0,
+        output_transform=lambda p: (p * 255.0).astype(jnp.uint8), **kw,
+    )
+    full = rng.normal(size=(128, 128, 2)).astype(np.float32) + 3.0
+    got = np.asarray(engine.predict_scene(full))
+    assert not any(k[0] == "cull" for k in engine._compiled)
+    assert got.dtype == np.uint8
+
+    empty = np.zeros((128, 128, 2), np.float32)
+    got = np.asarray(engine.predict_scene(empty))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_engine_nodata_cull_nan(rng):
+    """NaN nodata: invalid = every channel NaN (the PC/xarray convention,
+    utils/pc_tools.py:90-107 feeds NaN-holed composites)."""
+    scene = rng.normal(size=(200, 200, 2)).astype(np.float32)
+    scene[:100] = np.nan
+    kw = dict(kernel=64, buffer=0, batch_size=4, out_channels=1, blend="overwrite")
+    plain = TiledInferenceEngine(_mean_model, **kw)
+    culled = TiledInferenceEngine(_mean_model, nodata=float("nan"), **kw)
+    want = np.asarray(plain.predict_scene(scene))
+    got = np.asarray(culled.predict_scene(scene))
+    valid = ~np.isnan(scene).all(-1)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5)
+    # rows covered only by culled chips are zero, not NaN: their forwards
+    # never ran (kept chips straddling the boundary still emit NaN at
+    # nodata pixels, exactly like the uncull engine)
+    np.testing.assert_array_equal(got[:64], 0.0)
+
+
+def test_engine_nodata_cull_pipelined(rng):
+    """predict_scenes computes validity in the staging thread (no D2H):
+    pipelined culled results match the per-scene path scene-for-scene."""
+    scenes = [_nodata_scene(rng, 192, 192, 2) for _ in range(3)]
+    scenes.append(np.zeros((192, 192, 2), np.float32))  # all nodata
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=64, buffer=32, batch_size=4, out_channels=1,
+        blend="hann", nodata=0.0,
+    )
+    piped = [np.asarray(p) for p in engine.predict_scenes(iter(scenes), readback=True)]
+    for scene, got in zip(scenes, piped):
+        want = np.asarray(engine.predict_scene(scene))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["grid", "reference"])
+def test_engine_nodata_cull_banded(rng, mode):
+    """Banded streaming culls per band (the swath-edge workload is the
+    tall-scene one): banded culled == banded unculled on valid pixels,
+    and an all-nodata band runs zero forwards."""
+    scene = _nodata_scene(rng, 420, 200, 2)
+    scene[:130] = 0.0  # top band fully nodata
+    kw = dict(kernel=64, buffer=32, batch_size=4, out_channels=1,
+              blend="hann", index_mode=mode, max_rows=160)
+    plain = TiledInferenceEngine(_mean_model, **kw)
+    culled = TiledInferenceEngine(_mean_model, nodata=0.0, **kw)
+    want = np.asarray(plain.predict_scene(scene))
+    got = np.asarray(culled.predict_scene(scene))
+    assert any(k[0] == "cull" for k in culled._compiled)
+    valid = (scene != 0.0).any(-1)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5, atol=1e-5)
+
+
+def test_engine_banded_lazy_geotiff(tmp_path, rng):
+    """A file-backed GeoTiffScene streams through the banded path without
+    materializing (only O(band) rows decode per job) and combines with
+    nodata culling: result equals the in-memory scene's bit-for-bit."""
+    from satellite_computervision_tpu.geo import GeoTiffScene, write_geotiff
+
+    scene = _nodata_scene(rng, 420, 200, 2)
+    path = str(tmp_path / "swath.tif")
+    write_geotiff(path, scene, nodata=0.0)
+    lazy = GeoTiffScene(path)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=64, buffer=32, batch_size=4, out_channels=1,
+        blend="hann", max_rows=160, nodata=0.0,
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    got = np.asarray(engine.predict_scene(lazy))
+    np.testing.assert_array_equal(got, want)
