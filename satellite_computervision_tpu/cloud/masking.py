@@ -168,6 +168,33 @@ def toa_mask(bands: Dict[str, jnp.ndarray], cloud_thresh: int = 15) -> jnp.ndarr
     return basic_qa_mask(bands["QA60"]) & (sentinel_cloud_score(bands) <= cloud_thresh)
 
 
+def combined_mask(bands: Dict[str, jnp.ndarray], cdi=None, jrc_water=None,
+                  cloud_thresh: int = 15, water_thresh: float = 0.25,
+                  shadow_b11: float = 900.0) -> jnp.ndarray:
+    """Combined cloud/water/shadow keep-mask (``mask``,
+    utils/ee_tools.py:257-268). True where a pixel survives all three:
+
+    - clouds: cloudScore <= ``cloud_thresh``, OR-overridden by a
+      Sentinel-2 CDI plane >= -0.2 when one is supplied (CDI is an EE
+      server-side algorithm — here an optional precomputed input);
+    - water: waterScore <= ``water_thresh``; AND, when a JRC
+      surface-water plane is supplied, JRC != 2 (pass it pre-dilated —
+      the reference applies a 1-px focal_max first);
+    - shadow: raw-DN B11 > ``shadow_b11``.
+
+    The reference applies basicQA before scoring; compose with
+    :func:`basic_qa_mask` / :func:`apply_mask` for that full pipeline.
+    """
+    clouds = sentinel_cloud_score(bands) <= cloud_thresh
+    if cdi is not None:
+        clouds = clouds | (jnp.asarray(cdi) >= -0.2)
+    water = water_score(bands) <= water_thresh
+    if jrc_water is not None:
+        water = water & (jnp.asarray(jrc_water) != 2)
+    shadow = jnp.asarray(bands["B11"]) > shadow_b11
+    return clouds & water & shadow
+
+
 def apply_mask(bands: Dict[str, jnp.ndarray], mask: jnp.ndarray, fill=jnp.nan):
     """updateMask equivalent: masked-out pixels become ``fill`` (NaN, the
     nodata convention the npy generators consume,

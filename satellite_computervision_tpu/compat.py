@@ -56,6 +56,17 @@ from satellite_computervision_tpu.data.pipeline import (  # noqa: F401
     get_training_dataset,                  # processing.py:421
     get_eval_dataset,                      # processing.py:443
 )
+
+
+def get_dataset(files, feature_names, kernel_size=256, compression="GZIP",
+                workers=2):
+    """processing.py:394 — the parsed (unshuffled, unbatched) chip stream;
+    shuffle/batch/repeat live on get_training_dataset, as in the
+    reference."""
+    from satellite_computervision_tpu.data.pipeline import ChipDataset
+
+    return ChipDataset(files, feature_names, kernel_size, compression,
+                       workers=workers)
 from satellite_computervision_tpu.data.chip_generators import (  # noqa: F401
     UNetChipDataset as UNETDataGenerator,              # processing.py:456
     SiameseChipDataset as SiameseDataGenerator,        # processing.py:757
@@ -92,6 +103,64 @@ from satellite_computervision_tpu.models.blocks import (  # noqa: F401
     DecoderBlock as decoder_block,  # model_tools.py:288
     ASPP as DilatedSpatialPyramidPooling,  # model_tools.py:533
 )
+
+
+# The reference's functional-style layer builders return Keras tensors
+# wired into a graph (model_tools.py:321,576,666,719,922,941); in flax the
+# layer stack IS a Module, so each builder returns the corresponding
+# module — apply it (or compose it inside a parent Module) instead of
+# threading tensors through it.
+
+
+def build_unet_layers(filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+                      dropout=None, **kwargs):
+    """model_tools.py:321 — the U-Net trunk as a Module (linear head; add
+    your own head conv as the reference's get_*_model wrappers do)."""
+    from satellite_computervision_tpu.models import UNet
+
+    return UNet(n_classes=1, head="linear", filters=tuple(filters),
+                factors=tuple(factors), dropout=dropout, **kwargs)
+
+
+def get_siamese_layers(filters=(32, 64, 128), factors=(2, 2, 2), **kwargs):
+    """model_tools.py:576 — the shared-encoder siamese trunk as a Module
+    (make_siamese_unet adds the sigmoid head; here threshold/bias are
+    left at defaults)."""
+    from satellite_computervision_tpu.models import SiameseUNet
+
+    return SiameseUNet(filters=tuple(filters), factors=tuple(factors), **kwargs)
+
+
+def build_lstm_layers(**kwargs):
+    """model_tools.py:666 — 2x ConvLSTM2D stack as a Module."""
+    from satellite_computervision_tpu.models.convlstm import LSTMStack
+
+    return LSTMStack(**kwargs)
+
+
+def build_lstm_layers2(**kwargs):
+    """model_tools.py:719 — state-returning residual ConvLSTM variant."""
+    from satellite_computervision_tpu.models.convlstm import LSTMStack2
+
+    return LSTMStack2(**kwargs)
+
+
+def build_acnn_layers(nfilters=16, depth=16, **kwargs):
+    """model_tools.py:922 — atrous-CNN residual trunk as a Module
+    (variant-1 wiring: plain conv consumes the raw pre-BN conv output)."""
+    from satellite_computervision_tpu.models.acnn import ACNNTrunk
+
+    kwargs.setdefault("variant", 1)
+    return ACNNTrunk(features=nfilters, n_blocks=depth, **kwargs)
+
+
+def build_acnn_layers2(nfilters=16, depth=16, **kwargs):
+    """model_tools.py:941 — variant-2 wiring (plain conv consumes the
+    activated output)."""
+    from satellite_computervision_tpu.models.acnn import ACNNTrunk
+
+    kwargs.setdefault("variant", 2)
+    return ACNNTrunk(features=nfilters, n_blocks=depth, **kwargs)
 
 
 def get_unet_model(nclasses, nchannels=None, filters=(32, 64, 128, 256, 512),
@@ -227,6 +296,38 @@ def get_blob_model(model_url=None, weights_url=None, target=None,
     return load_remote_weights(url, target)
 
 
+def predict_chunk(data, m=None, model=None, output_key: str = "probs",
+                  model_blob_url=None, weights_blob_url=None,
+                  target=None, batch_stats=None, family: str = "unet"):
+    """model_tools.py:1271 — the Dask-worker chunk predictor: (C, H, W)
+    chunk -> CHW→NHWC -> predict -> squeezed logits.
+
+    ``m`` is a chip-batch predict fn with weights already on device — the
+    TPU rebuild's fix for the reference's pathological per-chunk model
+    re-download (each Dask worker fetched the blob model per chunk). The
+    blob-URL drop-in form takes a flax ``model`` (+ ``target`` param tree
+    for the weight mapping) and restores through get_blob_model once;
+    parallel.sharded_inference is the real mesh-sharded replacement for
+    the whole map_overlap pattern."""
+    import numpy as np
+
+    if m is None:
+        if model is None or target is None or not (model_blob_url or weights_blob_url):
+            raise ValueError(
+                "pass a predict fn `m`, or model+target+blob URL(s)")
+        variables = get_blob_model(model_blob_url, weights_blob_url,
+                                   target=target, batch_stats=batch_stats,
+                                   family=family)
+        if isinstance(variables, tuple):  # keras_import: (params, batch_stats)
+            variables = {"params": variables[0], "batch_stats": variables[1]}
+        elif not isinstance(variables, dict) or "params" not in variables:
+            variables = {"params": variables}
+        m = lambda chips: model.apply(variables, chips)[output_key]
+    hwc = jnp.moveaxis(jnp.asarray(data), 0, -1)
+    pred = m(hwc[None])[0]
+    return np.squeeze(np.asarray(pred))
+
+
 # --- utils/prediction_tools.py --------------------------------------------
 from satellite_computervision_tpu.ops.chips import (  # noqa: F401
     generate_chip_indices,  # prediction_tools.py:87 / raster_tools.py:23
@@ -285,7 +386,11 @@ from satellite_computervision_tpu.inference.mixer import (  # noqa: F401
 )
 from satellite_computervision_tpu.inference.writers import (  # noqa: F401
     write_tfrecord_predictions,   # prediction_tools.py:375
+    write_geotiff_predictions,    # prediction_tools.py:475 (streaming form)
     write_geotiff_predictions as write_geotiff_prediction,  # prediction_tools.py:447
+)
+from satellite_computervision_tpu.inference.mixer import (  # noqa: F401
+    reassemble_patches as callback_predictions,  # prediction_tools.py:245
 )
 from satellite_computervision_tpu.utils.viz import plot_to_image  # prediction_tools.py:228
 
@@ -324,6 +429,7 @@ from satellite_computervision_tpu.cloud.masking import (  # noqa: F401
     sentinel_cloud_score as sentinelCloudScore,  # ee_tools.py:218
     scl_mask as maskSR,          # ee_tools.py:270
     toa_mask as maskTOA,         # ee_tools.py:289
+    combined_mask as mask,       # ee_tools.py:257 (CDI/JRC planes optional)
 )
 
 # --- utils/calibration.py --------------------------------------------------
@@ -354,6 +460,8 @@ from satellite_computervision_tpu.cloud.pc import (  # noqa: F401
     join_ssurgo,                  # pc_tools.py:544
     predict_scene as run_local,   # pc_tools.py:620
     predict_scene as run_dask,    # pc_tools.py:670 (mesh replaces Dask)
+    predict_scene as predict_pc_local,  # prediction_tools.py:731 (= run_local)
+    predict_scene as predict_pc_dask,   # prediction_tools.py:781 (= run_dask)
 )
 from satellite_computervision_tpu.cloud.blob import save_numpy as export_blob  # pc_tools.py:83
 from satellite_computervision_tpu.cloud.compositing import (  # noqa: F401

@@ -10,6 +10,7 @@ from satellite_computervision_tpu.geo.geotiff import (
     write_cog,
     read_geotiff,
     GeoTiffScene,
+    GeoTiffStreamWriter,
 )
 from satellite_computervision_tpu.geo.transforms import (
     Affine,
@@ -29,6 +30,7 @@ __all__ = [
     "write_cog",
     "read_geotiff",
     "GeoTiffScene",
+    "GeoTiffStreamWriter",
     "Affine",
     "geo_transform_from_mixer",
     "pixel_to_geo",

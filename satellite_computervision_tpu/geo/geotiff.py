@@ -144,48 +144,11 @@ class _IFDBuilder:
         return ifd, outline
 
 
-def _page_ifd(
-    image: np.ndarray,
-    data_offset: int,
-    ifd_offset: int,
-    transform: Optional[Sequence[float]],
-    crs: str,
-    nodata,
-    compress: bool,
-    tile_size: Optional[int],
-    subfile_type: Optional[int] = None,
-):
-    """Build one TIFF page (IFD + pixel data) for an (H, W, C) array."""
-    h, w, c = image.shape
-    dtype = image.dtype
+def _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata,
+               subfile_type=None):
+    """Add the geometry/sample/geo tags shared by every page layout."""
     bits = dtype.itemsize * 8
     sample_format = _SAMPLE_FORMATS[dtype]
-
-    chunks = []
-    if tile_size:
-        ts = tile_size
-        for ty in range(0, h, ts):
-            for tx in range(0, w, ts):
-                tile = np.zeros((ts, ts, c), dtype)
-                sub = image[ty : ty + ts, tx : tx + ts]
-                tile[: sub.shape[0], : sub.shape[1]] = sub
-                chunks.append(tile.tobytes())
-    else:
-        rows_per_strip = max(1, 8192 // max(1, w * c * dtype.itemsize))
-        for y in range(0, h, rows_per_strip):
-            chunks.append(image[y : y + rows_per_strip].tobytes())
-
-    if compress:
-        chunks = [zlib.compress(chunk, 6) for chunk in chunks]
-
-    offsets, counts = [], []
-    pos = data_offset
-    for chunk in chunks:
-        offsets.append(pos)
-        counts.append(len(chunk))
-        pos += len(chunk) + (len(chunk) % 2)
-
-    b = _IFDBuilder()
     if subfile_type is not None:
         b.add(_NEW_SUBFILE_TYPE, _TYPE_LONG, subfile_type)
     b.add(_IMAGE_WIDTH, _TYPE_LONG, w)
@@ -196,16 +159,6 @@ def _page_ifd(
     b.add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, c)
     b.add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
     b.add(_SAMPLE_FORMAT, _TYPE_SHORT, [sample_format] * c)
-    if tile_size:
-        b.add(_TILE_WIDTH, _TYPE_LONG, tile_size)
-        b.add(_TILE_LENGTH, _TYPE_LONG, tile_size)
-        b.add(_TILE_OFFSETS, _TYPE_LONG, offsets)
-        b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, counts)
-    else:
-        b.add(_ROWS_PER_STRIP, _TYPE_LONG, rows_per_strip)
-        b.add(_STRIP_OFFSETS, _TYPE_LONG, offsets)
-        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, counts)
-
     if transform is not None:
         a, bshear, tx, dshear, e, ty = transform
         if bshear == 0 and dshear == 0:
@@ -224,6 +177,62 @@ def _page_ifd(
             b.add_ascii(_GEO_ASCII_PARAMS, ascii_params)
     if nodata is not None:
         b.add_ascii(_GDAL_NODATA, str(nodata))
+
+
+def _default_rows_per_strip(w, c, itemsize):
+    return max(1, 8192 // max(1, w * c * itemsize))
+
+
+def _page_ifd(
+    image: np.ndarray,
+    data_offset: int,
+    ifd_offset: int,
+    transform: Optional[Sequence[float]],
+    crs: str,
+    nodata,
+    compress: bool,
+    tile_size: Optional[int],
+    subfile_type: Optional[int] = None,
+):
+    """Build one TIFF page (IFD + pixel data) for an (H, W, C) array."""
+    h, w, c = image.shape
+    dtype = image.dtype
+
+    chunks = []
+    if tile_size:
+        ts = tile_size
+        for ty in range(0, h, ts):
+            for tx in range(0, w, ts):
+                tile = np.zeros((ts, ts, c), dtype)
+                sub = image[ty : ty + ts, tx : tx + ts]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(tile.tobytes())
+    else:
+        rows_per_strip = _default_rows_per_strip(w, c, dtype.itemsize)
+        for y in range(0, h, rows_per_strip):
+            chunks.append(image[y : y + rows_per_strip].tobytes())
+
+    if compress:
+        chunks = [zlib.compress(chunk, 6) for chunk in chunks]
+
+    offsets, counts = [], []
+    pos = data_offset
+    for chunk in chunks:
+        offsets.append(pos)
+        counts.append(len(chunk))
+        pos += len(chunk) + (len(chunk) % 2)
+
+    b = _IFDBuilder()
+    _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata, subfile_type)
+    if tile_size:
+        b.add(_TILE_WIDTH, _TYPE_LONG, tile_size)
+        b.add(_TILE_LENGTH, _TYPE_LONG, tile_size)
+        b.add(_TILE_OFFSETS, _TYPE_LONG, offsets)
+        b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, counts)
+    else:
+        b.add(_ROWS_PER_STRIP, _TYPE_LONG, rows_per_strip)
+        b.add(_STRIP_OFFSETS, _TYPE_LONG, offsets)
+        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, counts)
 
     return b, chunks, offsets, counts
 
@@ -326,6 +335,144 @@ def write_cog(
         if min(level.shape[:2]) <= 1:
             break
     _write_pages(path, pages)
+
+
+class GeoTiffStreamWriter:
+    """Incremental striped-GeoTIFF writer: rows stream to disk as they are
+    produced, so host memory stays O(strip) no matter how tall the scene.
+
+    The write-side twin of :class:`GeoTiffScene` — together they close the
+    swath-scale serving loop (GeoTIFF in → banded inference → GeoTIFF out)
+    at O(band) host memory. The reference materializes the whole output
+    array before its rasterio write (utils/prediction_tools.py:447-536).
+
+    Layout: header (IFD pointer patched on close) → pixel strips in row
+    order → IFD at end of file. Readers follow the header pointer, so the
+    trailing IFD is ordinary TIFF; files are bit-readable by
+    :class:`GeoTiffScene` / ``read_geotiff``.
+
+    Usage::
+
+        with GeoTiffStreamWriter(path, h, w, c, np.uint8, crs=...) as wr:
+            for block in row_blocks:      # (rows, w, c), top to bottom
+                wr.write_rows(block)
+    """
+
+    def __init__(
+        self,
+        path: str,
+        height: int,
+        width: int,
+        channels: int,
+        dtype,
+        transform: Optional[Sequence[float]] = None,
+        crs: str = "",
+        nodata=None,
+        compress: bool = True,
+        rows_per_strip: Optional[int] = None,
+    ):
+        dtype = np.dtype(dtype)
+        if dtype not in _SAMPLE_FORMATS:
+            raise ValueError(f"unsupported sample dtype {dtype}")
+        if height <= 0 or width <= 0 or channels <= 0:
+            raise ValueError("height/width/channels must be positive")
+        self.shape = (height, width, channels)
+        self.dtype = dtype
+        self._geo = (transform, crs, nodata)
+        self._compress = compress
+        self._rps = rows_per_strip or _default_rows_per_strip(
+            width, channels, dtype.itemsize)
+        self._f = open(path, "wb")
+        self._f.write(b"II*\x00" + struct.pack("<I", 0))  # IFD ptr patched at close
+        self._pos = 8
+        self._offsets: list = []
+        self._counts: list = []
+        self._pending: list = []  # buffered rows short of one strip
+        self._pending_rows = 0
+        self._rows_written = 0
+        self._closed = False
+
+    def _flush_strip(self, arr: np.ndarray) -> None:
+        chunk = np.ascontiguousarray(arr).tobytes()
+        if self._compress:
+            chunk = zlib.compress(chunk, 6)
+        self._offsets.append(self._pos)
+        self._counts.append(len(chunk))
+        self._f.write(chunk)
+        self._pos += len(chunk)
+        if len(chunk) % 2:
+            self._f.write(b"\x00")
+            self._pos += 1
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        """Append the next (rows, W[, C]) block; blocks must arrive in row
+        order and sum to exactly ``height`` by :meth:`close`."""
+        if self._closed:
+            raise ValueError("writer is closed")
+        rows = np.asarray(rows)
+        if rows.ndim == 2:
+            rows = rows[..., None]
+        h, w, c = self.shape
+        if rows.shape[1:] != (w, c):
+            raise ValueError(f"row block shape {rows.shape} != (*, {w}, {c})")
+        if rows.dtype != self.dtype:
+            raise ValueError(f"row block dtype {rows.dtype} != {self.dtype}")
+        if self._rows_written + rows.shape[0] > h:
+            raise ValueError(
+                f"rows overflow: {self._rows_written} + {rows.shape[0]} > {h}")
+        self._rows_written += rows.shape[0]
+        self._pending.append(rows)
+        self._pending_rows += rows.shape[0]
+        while self._pending_rows >= self._rps:
+            buf = np.concatenate(self._pending) if len(self._pending) > 1 \
+                else self._pending[0]
+            self._flush_strip(buf[: self._rps])
+            rest = buf[self._rps:]
+            self._pending = [rest] if rest.shape[0] else []
+            self._pending_rows = rest.shape[0]
+
+    def close(self) -> None:
+        """Flush the final partial strip, write the IFD, patch the header."""
+        if self._closed:
+            return
+        h, w, c = self.shape
+        if self._rows_written != h:
+            self._f.close()
+            self._closed = True
+            raise ValueError(
+                f"wrote {self._rows_written} rows, expected {h}")
+        if self._pending_rows:
+            self._flush_strip(np.concatenate(self._pending)
+                              if len(self._pending) > 1 else self._pending[0])
+            self._pending = []
+            self._pending_rows = 0
+        transform, crs, nodata = self._geo
+        b = _IFDBuilder()
+        _base_tags(b, h, w, c, self.dtype, self._compress, transform, crs,
+                   nodata)
+        b.add(_ROWS_PER_STRIP, _TYPE_LONG, self._rps)
+        b.add(_STRIP_OFFSETS, _TYPE_LONG, self._offsets)
+        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, self._counts)
+        ifd_bytes, outline = b.serialize(self._pos)
+        self._f.write(ifd_bytes)
+        self._f.write(outline)
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", self._pos))
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        elif not self._closed:
+            # leave the file unfinalized (no IFD) — it is not a valid TIFF,
+            # which is the honest state after a failed stream
+            self._f.close()
+            self._closed = True
+        return False
 
 
 # ---------------------------------------------------------------------------

@@ -584,6 +584,49 @@ class TiledInferenceEngine:
             return jnp.zeros((h, w, self.out_channels), jnp.float32)
         return run(jnp.asarray(scene))
 
+    def predict_scene_to_geotiff(self, scene, path, transform=None,
+                                 crs: str = "", nodata_tag=None,
+                                 compress: bool = True) -> str:
+        """Predict a scene and stream the result straight into a striped
+        GeoTIFF at ``path`` — the disk→disk swath-serving pipeline.
+
+        On the banded path (``max_rows`` set, scene taller) output rows
+        are written as each band completes, so with a file-backed input
+        (geo.GeoTiffScene) host memory stays O(band) end to end: scenes
+        larger than host RAM serve from disk to disk. Shorter scenes fall
+        back to one :meth:`predict_scene` pass then a single write.
+
+        ``nodata_tag`` only stamps GDAL_NODATA on the output file (the
+        engine's own ``nodata`` controls input chip culling). Returns
+        ``path``. Reference: utils/prediction_tools.py:447-536 builds the
+        full array, then hands it to rasterio."""
+        from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+
+        h, w = scene.shape[:2]
+        writer = None
+
+        def sink(block):
+            nonlocal writer
+            if writer is None:
+                writer = GeoTiffStreamWriter(
+                    path, h, w, self.out_channels, block.dtype,
+                    transform=transform, crs=crs, nodata=nodata_tag,
+                    compress=compress)
+            writer.write_rows(block)
+
+        try:
+            if self.max_rows is not None and h > self.max_rows:
+                self._predict_banded(scene, sink=sink)
+            else:
+                sink(np.asarray(self.predict_scene(scene)))
+            writer.close()
+        except BaseException:
+            if writer is not None and not writer._closed:
+                writer._f.close()
+                writer._closed = True
+            raise
+        return path
+
     def predict_scene_batch(self, scenes) -> jnp.ndarray:
         """(S, H, W, C) scene stack -> (S, H, W, out_channels), vmapped.
 
@@ -717,7 +760,7 @@ class TiledInferenceEngine:
             )
         return self._compiled[key](band_arr)
 
-    def _predict_banded(self, scene):
+    def _predict_banded(self, scene, sink=None):
         """Stream a tall scene in full-width bands, bounding device memory
         (the Dask-chunking analog, utils/pc_tools.py:707-718, without
         workers or model re-downloads).
@@ -728,7 +771,13 @@ class TiledInferenceEngine:
         ``overwrite`` is bit-identical. With ``blend="hann"`` each band
         additionally includes one halo chip-row per interior side so every
         output pixel sums its full chip set — equal to the whole-scene
-        result up to floating-point summation order."""
+        result up to floating-point summation order.
+
+        With ``sink`` (a callable receiving consecutive full-width
+        ``(rows, W, out_channels)`` blocks in row order, covering the scene
+        exactly) nothing is accumulated: host memory stays O(band) on the
+        output side too, and the return value is ``None``. Used by
+        :meth:`predict_scene_to_geotiff` for disk→disk swath serving."""
         h, w, _ = scene.shape
         kernel, buffer = self.kernel, self.buffer
         half = buffer // 2
@@ -750,7 +799,7 @@ class TiledInferenceEngine:
         # while band N computes and reads back — steady state is
         # max(transfer, compute) per band, not their sum (the same pattern
         # as predict_scenes, intra-scene).
-        jobs = []  # (band_arr fn, place fn(out, piece))
+        jobs = []  # (band_arr fn, y, hi, extract fn(piece) -> (hi-y, w, C))
 
         # whole mode predicts every pixel regardless of index_mode, so its
         # bands always use the full-cover grid geometry
@@ -780,10 +829,10 @@ class TiledInferenceEngine:
                 y = r0 * kernel
                 hi = min(y + rb * kernel, h)
 
-                def place(out, piece, y=y, hi=hi, e_top=e_top):
-                    out[y:hi] = piece[e_top * kernel : e_top * kernel + hi - y, :w]
+                def extract(piece, y=y, hi=hi, e_top=e_top):
+                    return piece[e_top * kernel : e_top * kernel + hi - y, :w]
 
-                jobs.append((band_of, place))
+                jobs.append((band_of, y, hi, extract))
                 r0 += rb
         else:
             # reference grid: chip (r, c) reads scene[r*k : r*k+side, ...];
@@ -805,17 +854,41 @@ class TiledInferenceEngine:
 
                     y = r0 * kernel + half
 
-                    def place(out, piece, y=y, rb=rb, e_top=e_top,
-                              cols_total=cols_total):
-                        out[y : y + rb * kernel,
-                            half : half + cols_total * kernel] = piece[
+                    def extract(piece, rb=rb, e_top=e_top,
+                                cols_total=cols_total):
+                        # margins stay zero in the piece dtype, preserving
+                        # the output_transform contract (e.g. uint8)
+                        block = np.zeros(
+                            (rb * kernel, w, self.out_channels), piece.dtype)
+                        block[:, half : half + cols_total * kernel] = piece[
                             e_top * kernel : (e_top + rb) * kernel
                         ]
+                        return block
 
-                    jobs.append((band_of, place))
+                    jobs.append((band_of, y, y + rb * kernel, extract))
                     r0 += rb
 
         out = None
+        next_row = 0  # sink mode: rows emitted so far
+        block_dtype = np.float32
+
+        def emit(y, hi, block):
+            nonlocal out, next_row, block_dtype
+            block_dtype = block.dtype
+            if sink is None:
+                if out is None:
+                    # margins (reference mode) stay zero in the piece
+                    # dtype, preserving the engine's output_transform
+                    # contract (e.g. uint8) through the banded path
+                    out = np.zeros((h, w, self.out_channels), block.dtype)
+                out[y:hi] = block
+                return
+            if y > next_row:  # reference-mode top margin
+                sink(np.zeros((y - next_row, w, self.out_channels),
+                              block.dtype))
+            sink(block)
+            next_row = hi
+
         if jobs:
             from satellite_computervision_tpu.data.pipeline import prefetch_to_device
 
@@ -826,7 +899,7 @@ class TiledInferenceEngine:
             pending = []
 
             def staged_gen():
-                for band_of, _ in jobs:
+                for band_of, _, _, _ in jobs:
                     band = band_of()
                     if cull:
                         pending.append(self.chip_validity(band, prepadded=True))
@@ -837,21 +910,25 @@ class TiledInferenceEngine:
             # pipeline must not silently triple it
             staged_bands = prefetch_to_device(staged_gen(), size=1)
             try:
-                for staged, (_, place) in zip(staged_bands, jobs):
+                for staged, (_, y, hi, extract) in zip(staged_bands, jobs):
                     piece = np.asarray(self._run_prepadded(
                         staged, valid_chips=pending.pop(0) if cull else None))
-                    if out is None:
-                        # margins (reference mode) stay zero in the piece
-                        # dtype, preserving the engine's output_transform
-                        # contract (e.g. uint8) through the banded path
-                        out = np.zeros((h, w, self.out_channels), piece.dtype)
-                    place(out, piece)
+                    emit(y, hi, extract(piece))
             except BaseException:
                 # drain so the staging thread can exit instead of blocking
                 # forever holding staged bands
                 for _ in staged_bands:
                     pass
                 raise
+        if sink is not None:
+            # trailing margin (reference mode) / chipless scene: emit zeros
+            # in band-sized blocks so the sink never sees O(scene) memory
+            step_rows = max(1, self.max_rows or h)
+            while next_row < h:
+                n = min(step_rows, h - next_row)
+                sink(np.zeros((n, w, self.out_channels), block_dtype))
+                next_row += n
+            return None
         if out is None:
             out = np.zeros((h, w, self.out_channels), np.float32)
         return jnp.asarray(out)

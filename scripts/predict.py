@@ -264,6 +264,21 @@ def main(argv=None):
                 blend=args.blend, tile_mode=tile_mode, max_rows=args.max_rows,
                 nodata=nodata, output_transform=out_transform,
             )
+        out = args.output or "prediction.tif"
+        out_tf = (tuple(args.transform) if args.transform
+                  else meta.get("transform"))
+        out_crs = args.crs or meta.get("crs", "")
+        banded = (engine.max_rows is not None
+                  and scene.shape[0] > engine.max_rows)
+        if banded and not args.cog:
+            # disk→disk streaming: output rows hit the GeoTIFF as each
+            # band completes; with a file-backed input host memory is
+            # O(band) end to end (COG needs the full array for overviews)
+            engine.predict_scene_to_geotiff(scene, out, transform=out_tf,
+                                            crs=out_crs)
+            print(f"wrote {out} (streamed banded) "
+                  f"shape={(scene.shape[0], scene.shape[1], cfg.num_classes)}")
+            return
         if (nodata is not None and engine.tile_mode == "chips"
                 and isinstance(scene, np.ndarray)):
             v = engine.chip_validity(scene)
@@ -273,12 +288,8 @@ def main(argv=None):
         else:
             # lazy/banded scenes cull per band inside the engine
             pred = np.asarray(engine.predict_scene(scene))
-        out = args.output or "prediction.tif"
         writer = write_cog if args.cog else write_geotiff
-        writer(out, pred,
-               transform=tuple(args.transform) if args.transform
-               else meta.get("transform"),
-               crs=args.crs or meta.get("crs", ""))
+        writer(out, pred, transform=out_tf, crs=out_crs)
         print(f"wrote {out} shape={pred.shape}")
         return
 

@@ -122,6 +122,19 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     # the all-nodata chip block contributed nothing
     assert np.all(pred_c[:32, :32] == 0.0)
 
+    # banded disk→disk streaming: --max-rows on a taller-than-band GeoTIFF
+    # routes through predict_scene_to_geotiff (lazy input, streamed strip
+    # output); values match the unbanded culled run
+    out_stream = str(tmp_path / "pred_stream.tif")
+    predict_cli.main([
+        "scene", "--input", tif_in, "--ckpt", ckpt,
+        "--config", "solar", "--output", out_stream, "--batch-size", "4",
+        "--max-rows", "96",
+    ])
+    pred_s, meta_s = read_geotiff(out_stream)
+    assert "32617" in meta_s["crs"]
+    np.testing.assert_allclose(pred_s, pred_c, rtol=1e-5, atol=1e-5)
+
     # standalone evaluation CLI on the same checkpoint
     import evaluate as evaluate_cli
 

@@ -11,8 +11,9 @@ def test_every_reference_symbol_resolves():
     symbols = [
         # processing.py
         "get_file_id", "match_files", "split_files", "calc_ndvi",
-        "aug_tensor_color", "aug_tensor_morph", "normalize_tensor",
-        "rescale_tensor", "to_tuple", "get_training_dataset",
+        "aug_tensor_color", "augColor", "aug_tensor_morph",
+        "normalize_tensor", "rescale_tensor", "to_tuple", "get_dataset",
+        "get_training_dataset",
         "get_eval_dataset", "UNETDataGenerator", "SiameseDataGenerator",
         "LSTMDataGenerator", "LSTMAutoencoderGenerator", "HybridDataGenerator",
         "rearrange_timeseries", "split_timeseries", "normalize_timeseries",
@@ -22,17 +23,22 @@ def test_every_reference_symbol_resolves():
         # model_tools.py
         "weighted_categorical_crossentropy", "gen_dice", "weighted_bce",
         "iou_loss", "mse_4d", "conv_batch_act", "conv_block", "encoder_block",
-        "decoder_block", "DilatedSpatialPyramidPooling", "get_unet_model",
+        "decoder_block", "DilatedSpatialPyramidPooling", "build_unet_layers",
+        "get_unet_model",
         "binary_unet", "get_binary_model", "get_autoencoder",
-        "make_siamese_unet", "get_lstm_model", "get_lstm_autoencoder",
-        "get_hybrid_model", "get_acnn_model", "get_acnn_model2",
+        "get_siamese_layers", "make_siamese_unet", "build_lstm_layers",
+        "build_lstm_layers2", "get_lstm_model", "get_lstm_autoencoder",
+        "get_hybrid_model", "build_acnn_layers", "build_acnn_layers2",
+        "get_acnn_model", "get_acnn_model2",
         "get_hierarchical_model", "normalize_confusion_matrix",
-        "retrain_model", "get_blob_weights", "get_blob_model",
+        "retrain_model", "get_blob_weights", "get_blob_model", "predict_chunk",
         # prediction_tools.py
         "generate_chip_indices", "extract_chips", "predict_chips",
-        "make_pred_dataset", "make_array_predictions",
+        "make_pred_dataset", "callback_predictions", "make_array_predictions",
         "write_tfrecord_predictions", "write_geotiff_prediction",
+        "write_geotiff_predictions",
         "doPrediction", "get_img_bounds", "plot_to_image", "read_mixer",
+        "predict_pc_local", "predict_pc_dask",
         # raster_tools.py
         "convert", "make_window", "win_jitter", "get_centroid",
         "make_jittered_window", "get_geo_transform", "convert_poly_coords",
@@ -40,14 +46,17 @@ def test_every_reference_symbol_resolves():
         # ee_tools.py
         "norm_p", "chi_p", "gamma_p", "normalize", "standardize", "ldaScore",
         "sentinel2toa", "rescale", "waterScore", "basicQA", "maskL8sr",
-        "cloudBands", "darkC", "sentinelCloudScore", "maskSR", "maskTOA",
+        "cloudBands", "darkC", "sentinelCloudScore", "mask", "maskSR",
+        "maskTOA",
         # calibration.py
         "clamp_and_scale", "scene_median", "get_overlap", "hist_to_FC",
-        "equalize", "equalize_collection",
+        "make_FC", "equalize", "equalize_collection",
         # pc_tools.py
-        "recursive_api_try", "export_blob", "normalize_dataArray",
+        "recursive_api_try", "resign_vrt", "export_blob",
+        "normalize_dataArray",
         "trim_dataArray", "get_naip_stac", "get_dem_stac", "get_hag_stac",
-        "get_s2_stac", "get_s1_stac", "get_ssurgo_stac", "join_ssurgo",
+        "naip_mosaic", "get_s2_stac", "get_s1_stac", "get_ssurgo_stac",
+        "join_ssurgo", "get_pc_imagery",
         "harmonize_to_old", "run_local", "run_dask",
         # stats.py
         "gamma_pdf", "lognormal_pdf",
@@ -135,3 +144,69 @@ def test_compat_numpy_twins_are_nan_aware(rng):
 
     out = np.asarray(compat.aug_array_color(jax.random.key(3), x))
     assert np.isfinite(out[1:]).all()
+
+
+def test_compat_combined_mask(rng):
+    """`mask` (ee_tools.py:257-268): keep = cloud-free AND water-free AND
+    bright-B11; CDI ORs into the cloud test, JRC ANDs into the water
+    test."""
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu import compat
+
+    shape = (8, 8)
+    bands = {
+        b: jnp.asarray(rng.uniform(200, 2500, shape).astype(np.float32))
+        for b in ("B1", "B2", "B3", "B4", "B8", "B10", "B11", "B12")
+    }
+    keep = np.asarray(compat.mask(bands))
+    assert keep.shape == shape and keep.dtype == np.bool_
+    # a dark-B11 pixel always drops (shadow test)
+    dark = {k: v.at[0, 0].set(100.0) if k == "B11" else v
+            for k, v in bands.items()}
+    assert not np.asarray(compat.mask(dark))[0, 0]
+    # CDI >= -0.2 overrides the cloud score entirely
+    cdi = jnp.zeros(shape)
+    keep_cdi = np.asarray(compat.mask(bands, cdi=cdi))
+    assert (keep_cdi | ~keep).all()  # CDI can only add pixels to the keep set
+    # JRC == 2 (permanent water) removes pixels
+    jrc = jnp.full(shape, 2)
+    assert not np.asarray(compat.mask(bands, jrc_water=jrc)).any()
+
+
+def test_compat_predict_chunk(rng):
+    """predict_chunk (model_tools.py:1271): CHW in, squeezed HW out."""
+    from satellite_computervision_tpu import compat
+
+    chunk = rng.normal(size=(3, 16, 16)).astype(np.float32)  # (C, H, W)
+    out = compat.predict_chunk(chunk, m=lambda x: x.mean(-1, keepdims=True))
+    np.testing.assert_allclose(out, chunk.mean(0), rtol=1e-5)
+    with pytest.raises(ValueError, match="predict fn"):
+        compat.predict_chunk(chunk)
+
+
+def test_compat_layer_builders_are_modules(rng):
+    """The functional-style Keras builders map to flax Modules that apply
+    cleanly at reference shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu import compat
+
+    trunk = compat.build_unet_layers(filters=(4, 8), factors=(2, 2))
+    v = trunk.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    assert trunk.apply(v, jnp.zeros((1, 16, 16, 3)))["continuous"].shape[:3] == (1, 16, 16)
+
+    acnn1 = compat.build_acnn_layers(nfilters=4, depth=2)
+    acnn2 = compat.build_acnn_layers2(nfilters=4, depth=2)
+    assert acnn1.variant == 1 and acnn2.variant == 2
+    v = acnn1.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    feats = acnn1.apply(v, jnp.zeros((1, 8, 8, 3)))
+    assert feats[-1].shape == (1, 8, 8, 4)
+
+    lstm = compat.build_lstm_layers(features=4)
+    v = lstm.init(jax.random.key(0), jnp.zeros((1, 3, 8, 8, 2)))
+    assert lstm.apply(v, jnp.zeros((1, 3, 8, 8, 2))).shape == (1, 8, 8, 4)
+
+    assert compat.get_siamese_layers(filters=(4,), factors=(2,)).filters == (4,)
+    assert compat.build_lstm_layers2(features=4).features == 4

@@ -141,3 +141,51 @@ def test_geotiff_scene_windowed_reads(tmp_path, rng):
             sc[::2]
         with pytest.raises(IndexError):
             sc[5]
+
+
+def test_stream_writer_matches_bulk_writer(tmp_path, rng):
+    """GeoTiffStreamWriter fed arbitrary row blocks reads back identical
+    (values AND metadata) to a bulk write_geotiff of the same array, on
+    both compressed and raw layouts and 2-D blocks."""
+    from satellite_computervision_tpu.geo import GeoTiffStreamWriter, GeoTiffScene
+
+    for compress, c in [(True, 3), (False, 1)]:
+        arr = rng.uniform(0, 1000, (137, 53, c)).astype(np.float32)
+        path = str(tmp_path / f"stream_{compress}.tif")
+        with GeoTiffStreamWriter(
+            path, 137, 53, c, np.float32, transform=TRANSFORM,
+            crs="EPSG:32617", nodata=-1.0, compress=compress,
+        ) as wr:
+            y = 0
+            for n in (1, 40, 7, 64, 25):  # uneven blocks spanning strips
+                block = arr[y : y + n]
+                wr.write_rows(block[..., 0] if c == 1 else block)
+                y += n
+        back, meta = read_geotiff(path)
+        np.testing.assert_array_equal(back, arr)
+        assert meta["transform"] == TRANSFORM
+        assert "32617" in meta["crs"] and meta["nodata"] == -1.0
+        # windowed reads work on the trailing-IFD layout too
+        sc = GeoTiffScene(path)
+        np.testing.assert_array_equal(sc[30:90, 10:50], arr[30:90, 10:50])
+
+
+def test_stream_writer_contract_errors(tmp_path):
+    """Row accounting is strict: overflow, dtype drift, and short closes
+    raise instead of writing a silently-corrupt raster."""
+    from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+
+    wr = GeoTiffStreamWriter(str(tmp_path / "a.tif"), 10, 4, 1, np.uint8)
+    wr.write_rows(np.zeros((6, 4, 1), np.uint8))
+    with pytest.raises(ValueError, match="overflow"):
+        wr.write_rows(np.zeros((5, 4, 1), np.uint8))
+    with pytest.raises(ValueError, match="dtype"):
+        wr.write_rows(np.zeros((1, 4, 1), np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        wr.write_rows(np.zeros((1, 5, 1), np.uint8))
+    with pytest.raises(ValueError, match="expected 10"):
+        wr.close()
+    with pytest.raises(ValueError, match="closed"):
+        wr.write_rows(np.zeros((1, 4, 1), np.uint8))
+    with pytest.raises(ValueError):
+        GeoTiffStreamWriter(str(tmp_path / "b.tif"), 5, 4, 1, np.bool_)

@@ -337,3 +337,49 @@ def test_engine_banded_lazy_geotiff(tmp_path, rng):
     want = np.asarray(engine.predict_scene(scene))
     got = np.asarray(engine.predict_scene(lazy))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["grid", "reference"])
+def test_engine_stream_to_geotiff_matches_predict(tmp_path, rng, mode):
+    """predict_scene_to_geotiff streams band outputs straight to a striped
+    GeoTIFF: the file must read back equal to predict_scene, including the
+    reference-mode zero margins, a uint8 output_transform's dtype, and
+    nodata culling — the disk→disk swath pipeline end to end."""
+    import jax.numpy as jnp
+    from satellite_computervision_tpu.geo import GeoTiffScene, write_geotiff
+
+    scene = _nodata_scene(rng, 420, 200, 2)
+    in_path = str(tmp_path / "in.tif")
+    write_geotiff(in_path, scene, nodata=0.0)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=64, buffer=32, batch_size=4, out_channels=1,
+        blend="hann", index_mode=mode, max_rows=160, nodata=0.0,
+        output_transform=lambda p: (p * 255.0).astype(jnp.uint8),
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    out_path = str(tmp_path / f"out_{mode}.tif")
+    got_path = engine.predict_scene_to_geotiff(
+        GeoTiffScene(in_path), out_path,
+        transform=(10, 0, 5, 0, -10, 7), crs="EPSG:32617", nodata_tag=0)
+    assert got_path == out_path
+    sc = GeoTiffScene(out_path)
+    assert sc.dtype == np.uint8 and sc.shape == (420, 200, 1)
+    assert "32617" in sc.meta["crs"] and sc.nodata == 0.0
+    np.testing.assert_array_equal(np.asarray(sc), want)
+
+
+def test_engine_stream_to_geotiff_short_scene(tmp_path, rng):
+    """Scenes that fit under max_rows (or with banding off) fall back to
+    one predict_scene pass then a single streamed write."""
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    scene = rng.normal(size=(96, 80, 2)).astype(np.float32)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=32, buffer=16, batch_size=4, out_channels=1,
+        blend="hann",
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    path = str(tmp_path / "short.tif")
+    engine.predict_scene_to_geotiff(scene, path)
+    back, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back, want)
