@@ -127,8 +127,9 @@ def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["scene", "change", "patches"])
-    ap.add_argument("--input", help="scene/patches input (.npy / export dir)")
+    ap.add_argument("mode", choices=["scene", "change", "patches", "sweep"])
+    ap.add_argument("--input", help="scene/patches input (.npy / export dir); "
+                    "sweep mode: a directory or glob of .npy/.tif scenes")
     ap.add_argument("--input-before", help="change mode: before .npy scene")
     ap.add_argument("--input-after", help="change mode: after .npy scene")
     ap.add_argument("--ckpt", required=True)
@@ -170,6 +171,15 @@ def main(argv=None):
                     "often 30-60%% nodata. Defaults to the input GeoTIFF's "
                     "nodata tag when present; chips tile-mode only")
     ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="sweep mode: scenes staged ahead on device")
+    ap.add_argument("--shard-index", type=int, default=0,
+                    help="sweep mode: this worker's index — workers take "
+                    "files round-robin, so N hosts split a multi-state "
+                    "sweep without a scheduler (the Dask 2-24-worker "
+                    "cluster's job, utils/pc_tools.py:564-618)")
+    ap.add_argument("--shard-count", type=int, default=1,
+                    help="sweep mode: total workers")
     ap.add_argument("--crs", default="")
     ap.add_argument("--transform", type=float, nargs=6,
                     help="affine: xscale xshear xtrans yshear yscale ytrans")
@@ -291,6 +301,73 @@ def main(argv=None):
         writer = write_cog if args.cog else write_geotiff
         writer(out, pred, transform=out_tf, crs=out_crs)
         print(f"wrote {out} shape={pred.shape}")
+        return
+
+    if args.mode == "sweep":
+        # multi-scene sweep (BASELINE config #5, the per-state DE/MD/PA/…
+        # workload): one engine, scenes pipelined through the 3-stage
+        # predict_scenes path (stage H2D / dispatch / D2H on threads) —
+        # the reference ran this on an adaptive 2-24-worker Dask cluster
+        # with per-chunk model re-downloads (utils/pc_tools.py:564-729)
+        import glob as _glob
+        import os
+        import time
+
+        if os.path.isdir(args.input):
+            paths = sorted(
+                p for p in _glob.glob(os.path.join(args.input, "*"))
+                if p.endswith((".npy", ".tif", ".tiff"))
+            )
+        else:
+            paths = sorted(_glob.glob(args.input))
+        if args.shard_count > 1:
+            paths = paths[args.shard_index::args.shard_count]
+        if not paths:
+            sys.exit(f"no scenes match {args.input!r}"
+                     + (f" for shard {args.shard_index}/{args.shard_count}"
+                        if args.shard_count > 1 else ""))
+        outdir = args.outdir or "predictions"
+        os.makedirs(outdir, exist_ok=True)
+        kernel, buffer, batch, tile_mode, source = resolve_serving_geometry(
+            cfg, args, args.ckpt)
+        print(f"sweep: {len(paths)} scenes, geometry k{kernel}+b{buffer} "
+              f"batch {batch} tile_mode={tile_mode} ({source})")
+        engine = TiledInferenceEngine(
+            predict, kernel=kernel, buffer=buffer, batch_size=batch,
+            out_channels=cfg.num_classes, blend=args.blend,
+            tile_mode=tile_mode, nodata=args.nodata,
+            output_transform=(lambda p: (p * 255.0).astype(jnp.uint8))
+            if args.uint8 else None,
+        )
+        metas = []  # append-before-yield, pop-in-order (staging thread)
+
+        def scene_gen():
+            for p in paths:
+                scene, meta = load_scene(p)
+                metas.append(meta)
+                yield scene
+
+        t0 = time.monotonic()
+        mpix = 0.0
+        written = []
+        for path, pred in zip(
+            paths, engine.predict_scenes(scene_gen(), prefetch=args.prefetch,
+                                         readback=True)
+        ):
+            meta = metas.pop(0)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out = os.path.join(outdir, f"{stem}_pred.tif")
+            writer = write_cog if args.cog else write_geotiff
+            writer(out, pred,
+                   transform=tuple(args.transform) if args.transform
+                   else meta.get("transform"),
+                   crs=args.crs or meta.get("crs", ""))
+            mpix += pred.shape[0] * pred.shape[1] / 1e6
+            written.append(out)
+            print(f"  {out} shape={pred.shape}")
+        dt = time.monotonic() - t0
+        print(f"swept {len(written)} scenes ({mpix:.1f} MPix) in {dt:.1f}s "
+              f"({mpix / max(dt, 1e-9):.2f} MPix/s end-to-end)")
         return
 
     # patches mode

@@ -206,6 +206,82 @@ def test_predict_patches_cli(tmp_path, monkeypatch):
     assert len(out) == 1
 
 
+def test_predict_sweep_cli(tmp_path, monkeypatch):
+    """sweep mode: a directory of scenes rides one pipelined engine into
+    per-scene GeoTIFFs with each file's own georeferencing; --shard-*
+    splits the list round-robin (the multi-state states→hosts mapping,
+    utils/pc_tools.py:564-618)."""
+    import dataclasses
+
+    import predict as predict_cli
+
+    from satellite_computervision_tpu.geo import read_geotiff, write_geotiff
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+    from satellite_computervision_tpu.train import create_train_state, save_checkpoint
+    import satellite_computervision_tpu.models as models
+    import jax, jax.numpy as jnp, optax
+
+    small = dataclasses.replace(
+        SOLAR_CONFIG, kernel_size=32, kernel_buffer=16, batch_size=4,
+        serve_kernel=32, serve_buffer=16, serve_batch=4,
+    )
+    monkeypatch.setitem(predict_cli.CONFIGS, "solar", small)
+    orig_unet = models.UNet
+
+    def small_unet(**kw):
+        kw.setdefault("filters", (4,))
+        kw.setdefault("factors", (2,))
+        return orig_unet(**kw)
+
+    monkeypatch.setattr(predict_cli, "UNet", small_unet)
+    model = small_unet(n_classes=1, head="sigmoid", dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 32, 32, 6)),
+                               tx=optax.adam(1e-3))
+    ckpt = str(tmp_path / "run")
+    save_checkpoint(f"{ckpt}/best", state, {"mean_iou": 0.5}, step=1)
+
+    rng = np.random.default_rng(0)
+    scenes = tmp_path / "scenes"
+    scenes.mkdir()
+    for i, name in enumerate(["de", "md", "pa"]):
+        arr = rng.uniform(0, 0.3, (96, 96, 6)).astype(np.float32)
+        write_geotiff(str(scenes / f"{name}.tif"), arr,
+                      transform=(10, 0, 100 * i, 0, -10, 0), crs="EPSG:32617")
+    np.save(scenes / "ny.npy",
+            rng.uniform(0, 0.3, (96, 96, 6)).astype(np.float32))
+
+    outdir = tmp_path / "sweep_out"
+    predict_cli.main([
+        "sweep", "--input", str(scenes), "--ckpt", ckpt, "--config", "solar",
+        "--outdir", str(outdir),
+    ])
+    outs = sorted(p.name for p in outdir.glob("*_pred.tif"))
+    assert outs == ["de_pred.tif", "md_pred.tif", "ny_pred.tif", "pa_pred.tif"]
+    pred_md, meta_md = read_geotiff(str(outdir / "md_pred.tif"))
+    assert pred_md.shape == (96, 96, 1)
+    assert meta_md["transform"][2] == 100.0  # md.tif's own georeferencing
+    assert "32617" in meta_md["crs"]
+
+    # round-robin sharding: worker 1 of 2 takes files [1], [3] of the
+    # sorted list (de.tif, md.tif, ny.npy, pa.tif)
+    shard_out = tmp_path / "shard_out"
+    predict_cli.main([
+        "sweep", "--input", str(scenes), "--ckpt", ckpt, "--config", "solar",
+        "--outdir", str(shard_out), "--shard-index", "1", "--shard-count", "2",
+    ])
+    assert sorted(p.name for p in shard_out.glob("*_pred.tif")) == [
+        "md_pred.tif", "pa_pred.tif"]
+
+    # sweep output equals the single-scene path on the same input
+    single_out = str(tmp_path / "single.tif")
+    predict_cli.main([
+        "scene", "--input", str(scenes / "md.tif"), "--ckpt", ckpt,
+        "--config", "solar", "--output", single_out,
+    ])
+    single, _ = read_geotiff(single_out)
+    np.testing.assert_allclose(pred_md, single, rtol=1e-5, atol=1e-6)
+
+
 def test_predict_change_cli(tmp_path, monkeypatch):
     """change mode: before/after scenes -> siamese tiled change map."""
     import dataclasses
