@@ -180,6 +180,15 @@ def main(argv=None):
                     "cluster's job, utils/pc_tools.py:564-618)")
     ap.add_argument("--shard-count", type=int, default=1,
                     help="sweep mode: total workers")
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="sweep mode: pad each scene's H/W up to the next "
+                    "multiple of this (edge-replicated), then crop the "
+                    "prediction back. XLA compiles one program per exact "
+                    "shape — heterogeneous sweeps otherwise pay a full "
+                    "compile per distinct scene size. Exact for "
+                    "blend=overwrite; hann values within ~kernel of a "
+                    "padded edge can shift (extra chip rows join the "
+                    "blend there)")
     ap.add_argument("--crs", default="")
     ap.add_argument("--transform", type=float, nargs=6,
                     help="affine: xscale xshear xtrans yshear yscale ytrans")
@@ -335,36 +344,73 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict, kernel=kernel, buffer=buffer, batch_size=batch,
             out_channels=cfg.num_classes, blend=args.blend,
-            tile_mode=tile_mode, nodata=args.nodata,
+            tile_mode=tile_mode, max_rows=args.max_rows, nodata=args.nodata,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8))
             if args.uint8 else None,
         )
-        metas = []  # append-before-yield, pop-in-order (staging thread)
-
-        def scene_gen():
-            for p in paths:
-                scene, meta = load_scene(p)
-                metas.append(meta)
-                yield scene
-
         t0 = time.monotonic()
         mpix = 0.0
         written = []
-        for path, pred in zip(
-            paths, engine.predict_scenes(scene_gen(), prefetch=args.prefetch,
-                                         readback=True)
-        ):
-            meta = metas.pop(0)
-            stem = os.path.splitext(os.path.basename(path))[0]
-            out = os.path.join(outdir, f"{stem}_pred.tif")
-            writer = write_cog if args.cog else write_geotiff
-            writer(out, pred,
-                   transform=tuple(args.transform) if args.transform
-                   else meta.get("transform"),
-                   crs=args.crs or meta.get("crs", ""))
-            mpix += pred.shape[0] * pred.shape[1] / 1e6
-            written.append(out)
-            print(f"  {out} shape={pred.shape}")
+
+        def out_path(p):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            return os.path.join(outdir, f"{stem}_pred.tif")
+
+        def geo_kwargs(meta):
+            return dict(
+                transform=tuple(args.transform) if args.transform
+                else meta.get("transform"),
+                crs=args.crs or meta.get("crs", ""),
+            )
+
+        if args.max_rows is not None:
+            # swath-scale sweep: per-scene banded disk→disk streaming
+            # (predict_scenes would stage whole scenes to the device,
+            # defeating the max_rows memory bound); inputs stay lazy
+            for p in paths:
+                scene, meta = load_scene(p, args.max_rows)
+                out = out_path(p)
+                if args.cog or scene.shape[0] <= args.max_rows:
+                    pred = np.asarray(engine.predict_scene(scene))
+                    (write_cog if args.cog else write_geotiff)(
+                        out, pred, **geo_kwargs(meta))
+                else:
+                    engine.predict_scene_to_geotiff(scene, out,
+                                                    **geo_kwargs(meta))
+                h, w = scene.shape[:2]
+                mpix += h * w / 1e6
+                written.append(out)
+                print(f"  {out} shape={(h, w, cfg.num_classes)}")
+        else:
+            # append-before-yield, pop-in-order (staging thread)
+            metas = []  # (meta, original (h, w))
+
+            def scene_gen():
+                for p in paths:
+                    scene, meta = load_scene(p)
+                    metas.append((meta, scene.shape[:2]))
+                    if args.bucket:
+                        b = args.bucket
+                        ph = -scene.shape[0] % b
+                        pw = -scene.shape[1] % b
+                        if ph or pw:
+                            scene = np.pad(scene, ((0, ph), (0, pw), (0, 0)),
+                                           mode="edge")
+                    yield scene
+
+            for path, pred in zip(
+                paths, engine.predict_scenes(scene_gen(),
+                                             prefetch=args.prefetch,
+                                             readback=True)
+            ):
+                meta, (h, w) = metas.pop(0)
+                pred = pred[:h, :w]
+                out = out_path(path)
+                (write_cog if args.cog else write_geotiff)(
+                    out, pred, **geo_kwargs(meta))
+                mpix += pred.shape[0] * pred.shape[1] / 1e6
+                written.append(out)
+                print(f"  {out} shape={pred.shape}")
         dt = time.monotonic() - t0
         print(f"swept {len(written)} scenes ({mpix:.1f} MPix) in {dt:.1f}s "
               f"({mpix / max(dt, 1e-9):.2f} MPix/s end-to-end)")

@@ -272,6 +272,17 @@ def test_predict_sweep_cli(tmp_path, monkeypatch):
     assert sorted(p.name for p in shard_out.glob("*_pred.tif")) == [
         "md_pred.tif", "pa_pred.tif"]
 
+    # swath-scale sweep: --max-rows streams each tall scene banded,
+    # disk→disk; short scenes in the same sweep take one plain pass
+    banded_out = tmp_path / "banded_out"
+    predict_cli.main([
+        "sweep", "--input", str(scenes), "--ckpt", ckpt, "--config", "solar",
+        "--outdir", str(banded_out), "--max-rows", "64",
+    ])
+    pred_md_banded, meta_b = read_geotiff(str(banded_out / "md_pred.tif"))
+    np.testing.assert_allclose(pred_md_banded, pred_md, rtol=1e-5, atol=1e-5)
+    assert meta_b["transform"][2] == 100.0
+
     # sweep output equals the single-scene path on the same input
     single_out = str(tmp_path / "single.tif")
     predict_cli.main([
@@ -280,6 +291,30 @@ def test_predict_sweep_cli(tmp_path, monkeypatch):
     ])
     single, _ = read_geotiff(single_out)
     np.testing.assert_allclose(pred_md, single, rtol=1e-5, atol=1e-6)
+
+    # heterogeneous sweep with --bucket: odd-shaped scenes pad (edge) to
+    # one compiled shape and crop back — exact under blend=overwrite
+    # (same chip grid, same edge-replicated window content)
+    scenes2 = tmp_path / "scenes2"
+    scenes2.mkdir()
+    odd = rng.uniform(0, 0.3, (80, 70, 6)).astype(np.float32)
+    np.save(scenes2 / "odd.npy", odd)
+    np.save(scenes2 / "big.npy",
+            rng.uniform(0, 0.3, (96, 96, 6)).astype(np.float32))
+    bucket_out = tmp_path / "bucket_out"
+    predict_cli.main([
+        "sweep", "--input", str(scenes2), "--ckpt", ckpt, "--config", "solar",
+        "--outdir", str(bucket_out), "--bucket", "96", "--blend", "overwrite",
+    ])
+    pred_odd, _ = read_geotiff(str(bucket_out / "odd_pred.tif"))
+    assert pred_odd.shape == (80, 70, 1)
+    odd_single = str(tmp_path / "odd_single.tif")
+    predict_cli.main([
+        "scene", "--input", str(scenes2 / "odd.npy"), "--ckpt", ckpt,
+        "--config", "solar", "--output", odd_single, "--blend", "overwrite",
+    ])
+    want_odd, _ = read_geotiff(odd_single)
+    np.testing.assert_array_equal(pred_odd, want_odd)
 
 
 def test_predict_change_cli(tmp_path, monkeypatch):
