@@ -269,12 +269,18 @@ def _write_pages(path, pages):
             pos = next_ifd
 
 
+def coerce_sample_dtype(dtype) -> np.dtype:
+    """The dtype a raster of ``dtype`` is written as: itself when TIFF can
+    hold it, float32 otherwise (e.g. bfloat16/float16 model outputs)."""
+    dtype = np.dtype(dtype)
+    return dtype if dtype in _SAMPLE_FORMATS else np.dtype(np.float32)
+
+
 def _as_hwc(image: np.ndarray) -> np.ndarray:
     image = np.asarray(image)
     if image.ndim == 2:
         image = image[..., None]
-    if image.dtype not in _SAMPLE_FORMATS:
-        image = image.astype(np.float32)
+    image = image.astype(coerce_sample_dtype(image.dtype), copy=False)
     return np.ascontiguousarray(image)
 
 
@@ -376,6 +382,14 @@ class GeoTiffStreamWriter:
             raise ValueError(f"unsupported sample dtype {dtype}")
         if height <= 0 or width <= 0 or channels <= 0:
             raise ValueError("height/width/channels must be positive")
+        if not compress and height * width * channels * dtype.itemsize > 0xFFFF0000:
+            # classic TIFF carries 32-bit offsets; fail before hours of
+            # prediction stream into a file that can't be finalized
+            # (BigTIFF is not implemented — compress, tile, or split)
+            raise ValueError(
+                f"{height}x{width}x{channels} {dtype} exceeds the classic-"
+                "TIFF 4 GiB offset limit; enable compress, or split the "
+                "output")
         self.shape = (height, width, channels)
         self.dtype = dtype
         self._geo = (transform, crs, nodata)
@@ -396,6 +410,12 @@ class GeoTiffStreamWriter:
         chunk = np.ascontiguousarray(arr).tobytes()
         if self._compress:
             chunk = zlib.compress(chunk, 6)
+        if self._pos + len(chunk) > 0xFFFF0000:
+            # compressed data can overflow too; raise at the first strip
+            # that would, not inside close()'s struct.pack
+            raise ValueError(
+                "output exceeds the classic-TIFF 4 GiB offset limit "
+                "(BigTIFF not implemented); split the output")
         self._offsets.append(self._pos)
         self._counts.append(len(chunk))
         self._f.write(chunk)
@@ -461,17 +481,22 @@ class GeoTiffStreamWriter:
         self._f.close()
         self._closed = True
 
+    def abort(self) -> None:
+        """Close the file handle WITHOUT finalizing: no IFD is written and
+        the header still points at offset 0, so the file is not a valid
+        TIFF — the honest state after a failed stream."""
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
     def __enter__(self):
         return self
 
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
             self.close()
-        elif not self._closed:
-            # leave the file unfinalized (no IFD) — it is not a valid TIFF,
-            # which is the honest state after a failed stream
-            self._f.close()
-            self._closed = True
+        else:
+            self.abort()
         return False
 
 

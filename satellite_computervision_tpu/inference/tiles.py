@@ -601,18 +601,25 @@ class TiledInferenceEngine:
         ``path``. Reference: utils/prediction_tools.py:447-536 builds the
         full array, then hands it to rasterio."""
         from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+        from satellite_computervision_tpu.geo.geotiff import coerce_sample_dtype
 
         h, w = scene.shape[:2]
         writer = None
+        cast = None
 
         def sink(block):
-            nonlocal writer
+            nonlocal writer, cast
             if writer is None:
+                # dtypes TIFF can't hold (e.g. a float16 output_transform)
+                # coerce to float32, matching write_geotiff's behavior so
+                # banded and non-banded outputs of the same engine agree
+                target = coerce_sample_dtype(block.dtype)
+                cast = target if target != block.dtype else None
                 writer = GeoTiffStreamWriter(
-                    path, h, w, self.out_channels, block.dtype,
+                    path, h, w, self.out_channels, target,
                     transform=transform, crs=crs, nodata=nodata_tag,
                     compress=compress)
-            writer.write_rows(block)
+            writer.write_rows(block.astype(cast) if cast else block)
 
         try:
             if self.max_rows is not None and h > self.max_rows:
@@ -621,9 +628,8 @@ class TiledInferenceEngine:
                 sink(np.asarray(self.predict_scene(scene)))
             writer.close()
         except BaseException:
-            if writer is not None and not writer._closed:
-                writer._f.close()
-                writer._closed = True
+            if writer is not None:
+                writer.abort()
             raise
         return path
 
@@ -799,7 +805,9 @@ class TiledInferenceEngine:
         # while band N computes and reads back — steady state is
         # max(transfer, compute) per band, not their sum (the same pattern
         # as predict_scenes, intra-scene).
-        jobs = []  # (band_arr fn, y, hi, extract fn(piece) -> (hi-y, w, C))
+        # (band_arr fn, y, hi, extract fn(piece) -> (hi-y, w, C) sink
+        # block, place fn(out, piece) in-place accumulate write)
+        jobs = []
 
         # whole mode predicts every pixel regardless of index_mode, so its
         # bands always use the full-cover grid geometry
@@ -832,7 +840,10 @@ class TiledInferenceEngine:
                 def extract(piece, y=y, hi=hi, e_top=e_top):
                     return piece[e_top * kernel : e_top * kernel + hi - y, :w]
 
-                jobs.append((band_of, y, hi, extract))
+                def place(out, piece, y=y, hi=hi, extract=extract):
+                    out[y:hi] = extract(piece)
+
+                jobs.append((band_of, y, hi, extract, place))
                 r0 += rb
         else:
             # reference grid: chip (r, c) reads scene[r*k : r*k+side, ...];
@@ -856,8 +867,9 @@ class TiledInferenceEngine:
 
                     def extract(piece, rb=rb, e_top=e_top,
                                 cols_total=cols_total):
-                        # margins stay zero in the piece dtype, preserving
-                        # the output_transform contract (e.g. uint8)
+                        # sink blocks are full-width; margins stay zero in
+                        # the piece dtype, preserving the output_transform
+                        # contract (e.g. uint8)
                         block = np.zeros(
                             (rb * kernel, w, self.out_channels), piece.dtype)
                         block[:, half : half + cols_total * kernel] = piece[
@@ -865,7 +877,14 @@ class TiledInferenceEngine:
                         ]
                         return block
 
-                    jobs.append((band_of, y, y + rb * kernel, extract))
+                    def place(out, piece, y=y, rb=rb, e_top=e_top,
+                              cols_total=cols_total):
+                        out[y : y + rb * kernel,
+                            half : half + cols_total * kernel] = piece[
+                            e_top * kernel : (e_top + rb) * kernel
+                        ]
+
+                    jobs.append((band_of, y, y + rb * kernel, extract, place))
                     r0 += rb
 
         out = None
@@ -873,16 +892,8 @@ class TiledInferenceEngine:
         block_dtype = np.float32
 
         def emit(y, hi, block):
-            nonlocal out, next_row, block_dtype
+            nonlocal next_row, block_dtype
             block_dtype = block.dtype
-            if sink is None:
-                if out is None:
-                    # margins (reference mode) stay zero in the piece
-                    # dtype, preserving the engine's output_transform
-                    # contract (e.g. uint8) through the banded path
-                    out = np.zeros((h, w, self.out_channels), block.dtype)
-                out[y:hi] = block
-                return
             if y > next_row:  # reference-mode top margin
                 sink(np.zeros((y - next_row, w, self.out_channels),
                               block.dtype))
@@ -899,7 +910,7 @@ class TiledInferenceEngine:
             pending = []
 
             def staged_gen():
-                for band_of, _, _, _ in jobs:
+                for band_of, _, _, _, _ in jobs:
                     band = band_of()
                     if cull:
                         pending.append(self.chip_validity(band, prepadded=True))
@@ -910,10 +921,19 @@ class TiledInferenceEngine:
             # pipeline must not silently triple it
             staged_bands = prefetch_to_device(staged_gen(), size=1)
             try:
-                for staged, (_, y, hi, extract) in zip(staged_bands, jobs):
+                for staged, (_, y, hi, extract, place) in zip(staged_bands, jobs):
                     piece = np.asarray(self._run_prepadded(
                         staged, valid_chips=pending.pop(0) if cull else None))
-                    emit(y, hi, extract(piece))
+                    if sink is not None:
+                        emit(y, hi, extract(piece))
+                    else:
+                        if out is None:
+                            # margins (reference mode) stay zero in the
+                            # piece dtype, preserving the engine's
+                            # output_transform contract (e.g. uint8)
+                            out = np.zeros((h, w, self.out_channels),
+                                           piece.dtype)
+                        place(out, piece)
             except BaseException:
                 # drain so the staging thread can exit instead of blocking
                 # forever holding staged bands

@@ -329,12 +329,36 @@ def main(argv=None):
             )
         else:
             paths = sorted(_glob.glob(args.input))
+        if args.shard_count < 1 or not (0 <= args.shard_index < args.shard_count):
+            sys.exit(f"--shard-index {args.shard_index} must be in "
+                     f"[0, --shard-count {args.shard_count}) — indices are "
+                     "0-based; overlapping shards would double-predict files")
         if args.shard_count > 1:
             paths = paths[args.shard_index::args.shard_count]
         if not paths:
             sys.exit(f"no scenes match {args.input!r}"
                      + (f" for shard {args.shard_index}/{args.shard_count}"
                         if args.shard_count > 1 else ""))
+        # the engine culls with ONE nodata value; honor the input files'
+        # GDAL_NODATA tags (as scene mode does) when --nodata is absent,
+        # refusing mixed tags rather than culling some scenes wrongly
+        nodata = args.nodata
+        if nodata is None:
+            from satellite_computervision_tpu.geo import GeoTiffScene
+
+            tags = {p: GeoTiffScene(p).nodata
+                    for p in paths if p.endswith((".tif", ".tiff"))}
+            values = {v for v in tags.values() if v is not None}
+            if len(values) > 1:
+                sys.exit(f"mixed GDAL_NODATA tags across the sweep "
+                         f"({sorted(values)}); pass an explicit --nodata")
+            if values:
+                nodata = values.pop()
+                print(f"nodata={nodata} (from the inputs' GDAL_NODATA tags)")
+        if args.bucket and args.max_rows is not None:
+            print("note: --bucket is a no-op with --max-rows — banded "
+                  "bands already pad to chip-grid multiples, so scene "
+                  "widths share programs per kernel-sized bucket")
         outdir = args.outdir or "predictions"
         os.makedirs(outdir, exist_ok=True)
         kernel, buffer, batch, tile_mode, source = resolve_serving_geometry(
@@ -344,7 +368,7 @@ def main(argv=None):
         engine = TiledInferenceEngine(
             predict, kernel=kernel, buffer=buffer, batch_size=batch,
             out_channels=cfg.num_classes, blend=args.blend,
-            tile_mode=tile_mode, max_rows=args.max_rows, nodata=args.nodata,
+            tile_mode=tile_mode, max_rows=args.max_rows, nodata=nodata,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8))
             if args.uint8 else None,
         )
@@ -352,8 +376,15 @@ def main(argv=None):
         mpix = 0.0
         written = []
 
+        # same-stem inputs of different formats (de.npy + de.tif) must not
+        # collide on one output — disambiguate those with the extension
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        dup_stems = {s for s in stems if stems.count(s) > 1}
+
         def out_path(p):
-            stem = os.path.splitext(os.path.basename(p))[0]
+            stem, ext = os.path.splitext(os.path.basename(p))
+            if stem in dup_stems:
+                stem = f"{stem}_{ext.lstrip('.')}"
             return os.path.join(outdir, f"{stem}_pred.tif")
 
         def geo_kwargs(meta):

@@ -316,6 +316,45 @@ def test_predict_sweep_cli(tmp_path, monkeypatch):
     want_odd, _ = read_geotiff(odd_single)
     np.testing.assert_array_equal(pred_odd, want_odd)
 
+    # shard misconfiguration errors instead of silently overlapping
+    with pytest.raises(SystemExit, match="shard-index"):
+        predict_cli.main([
+            "sweep", "--input", str(scenes), "--ckpt", ckpt, "--config",
+            "solar", "--outdir", str(tmp_path / "bad"),
+            "--shard-index", "2", "--shard-count", "2",
+        ])
+
+    # input GDAL_NODATA tags flow into sweep culling (like scene mode),
+    # and same-stem inputs of different formats get disambiguated outputs
+    scenes3 = tmp_path / "scenes3"
+    scenes3.mkdir()
+    arr_nd = rng.uniform(0.1, 0.3, (96, 96, 6)).astype(np.float32)
+    arr_nd[:64, :64] = 0.0
+    write_geotiff(str(scenes3 / "x.tif"), arr_nd,
+                  transform=(10, 0, 0, 0, -10, 0), crs="EPSG:32617",
+                  nodata=0.0)
+    np.save(scenes3 / "x.npy", arr_nd)
+    out3 = tmp_path / "out3"
+    predict_cli.main([
+        "sweep", "--input", str(scenes3), "--ckpt", ckpt, "--config",
+        "solar", "--outdir", str(out3),
+    ])
+    assert sorted(p.name for p in out3.glob("*.tif")) == [
+        "x_npy_pred.tif", "x_tif_pred.tif"]
+    pred_nd, _ = read_geotiff(str(out3 / "x_tif_pred.tif"))
+    # the corner covered only by the culled all-nodata chip stays zero
+    assert np.all(pred_nd[:8, :8] == 0.0)
+
+    # mixed nodata tags across a sweep are refused (one engine, one value)
+    write_geotiff(str(scenes3 / "y.tif"), arr_nd,
+                  transform=(10, 0, 0, 0, -10, 0), crs="EPSG:32617",
+                  nodata=-1.0)
+    with pytest.raises(SystemExit, match="mixed GDAL_NODATA"):
+        predict_cli.main([
+            "sweep", "--input", str(scenes3), "--ckpt", ckpt, "--config",
+            "solar", "--outdir", str(tmp_path / "out4"),
+        ])
+
 
 def test_predict_change_cli(tmp_path, monkeypatch):
     """change mode: before/after scenes -> siamese tiled change map."""

@@ -189,3 +189,31 @@ def test_stream_writer_contract_errors(tmp_path):
         wr.write_rows(np.zeros((1, 4, 1), np.uint8))
     with pytest.raises(ValueError):
         GeoTiffStreamWriter(str(tmp_path / "b.tif"), 5, 4, 1, np.bool_)
+
+
+def test_stream_writer_overflow_guard(tmp_path):
+    """Classic TIFF carries 32-bit offsets: an uncompressed raster that
+    cannot fit must fail at construction, not after hours of streaming."""
+    from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+
+    with pytest.raises(ValueError, match="4 GiB"):
+        GeoTiffStreamWriter(str(tmp_path / "big.tif"), 40000, 40000, 3,
+                            np.float32, compress=False)
+    # compressed construction is allowed (size unknowable upfront)
+    wr = GeoTiffStreamWriter(str(tmp_path / "big2.tif"), 40000, 40000, 3,
+                             np.float32, compress=True)
+    wr.abort()
+
+
+def test_stream_writer_abort(tmp_path):
+    """abort() leaves an unfinalized (invalid) file and further writes
+    fail; the context manager aborts on error instead of finalizing."""
+    from satellite_computervision_tpu.geo import GeoTiffScene, GeoTiffStreamWriter
+
+    path = str(tmp_path / "a.tif")
+    with pytest.raises(RuntimeError, match="boom"):
+        with GeoTiffStreamWriter(path, 10, 4, 1, np.uint8) as wr:
+            wr.write_rows(np.zeros((6, 4, 1), np.uint8))
+            raise RuntimeError("boom")
+    with pytest.raises(Exception):
+        GeoTiffScene(path)  # header points at IFD offset 0 — not a TIFF

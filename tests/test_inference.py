@@ -383,3 +383,24 @@ def test_engine_stream_to_geotiff_short_scene(tmp_path, rng):
     engine.predict_scene_to_geotiff(scene, path)
     back, _ = read_geotiff(path)
     np.testing.assert_array_equal(back, want)
+
+
+def test_engine_stream_to_geotiff_coerces_dtype(tmp_path, rng):
+    """Output dtypes TIFF can't hold (e.g. a float16 transform) coerce to
+    float32 on the streamed path, matching write_geotiff — the same
+    command must not fail depending only on scene height."""
+    import jax.numpy as jnp
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    scene = rng.normal(size=(420, 200, 2)).astype(np.float32)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=64, buffer=32, batch_size=4, out_channels=1,
+        blend="hann", max_rows=160,
+        output_transform=lambda p: p.astype(jnp.float16),
+    )
+    path = str(tmp_path / "f16.tif")
+    engine.predict_scene_to_geotiff(scene, path)
+    back, _ = read_geotiff(path)
+    assert back.dtype == np.float32
+    want = np.asarray(engine.predict_scene(scene)).astype(np.float32)
+    np.testing.assert_allclose(back, want, rtol=1e-3, atol=1e-3)
