@@ -92,7 +92,11 @@ def load_scene(path, max_rows=None):
         if max_rows is not None and sc.shape[0] > max_rows:
             return sc, sc.meta
         return np.asarray(sc), sc.meta
-    scene, meta = np.load(path), {}
+    # banded .npy scenes memory-map: the band jobs slice views, so only
+    # the touched pages are ever resident (the OS manages the window) —
+    # tall .npy swaths stream like GeoTIFFs do
+    scene = np.load(path, mmap_mode="r" if max_rows is not None else None)
+    meta = {}
     if scene.ndim == 2:
         scene = scene[..., None]
     return scene, meta

@@ -282,6 +282,21 @@ def test_predict_sweep_cli(tmp_path, monkeypatch):
     pred_md_banded, meta_b = read_geotiff(str(banded_out / "md_pred.tif"))
     np.testing.assert_allclose(pred_md_banded, pred_md, rtol=1e-5, atol=1e-5)
     assert meta_b["transform"][2] == 100.0
+    # tall .npy scenes ride the banded path too (memory-mapped)
+    pred_ny_banded, _ = read_geotiff(str(banded_out / "ny_pred.tif"))
+    pred_ny, _ = read_geotiff(str(outdir / "ny_pred.tif"))
+    np.testing.assert_allclose(pred_ny_banded, pred_ny, rtol=1e-5, atol=1e-5)
+
+    # a corrupt scene mid-sweep surfaces the error (earlier outputs stay,
+    # no hang on the staging thread)
+    (scenes / "zz_corrupt.npy").write_bytes(b"not an npy")
+    with pytest.raises(Exception):
+        predict_cli.main([
+            "sweep", "--input", str(scenes), "--ckpt", ckpt, "--config",
+            "solar", "--outdir", str(tmp_path / "err_out"),
+        ])
+    assert (tmp_path / "err_out" / "de_pred.tif").exists()
+    (scenes / "zz_corrupt.npy").unlink()
 
     # sweep output equals the single-scene path on the same input
     single_out = str(tmp_path / "single.tif")
