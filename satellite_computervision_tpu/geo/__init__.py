@@ -11,6 +11,7 @@ from satellite_computervision_tpu.geo.geotiff import (
     read_geotiff,
     GeoTiffScene,
     GeoTiffStreamWriter,
+    GeoTiffCogStreamWriter,
 )
 from satellite_computervision_tpu.geo.transforms import (
     Affine,
@@ -31,6 +32,7 @@ __all__ = [
     "read_geotiff",
     "GeoTiffScene",
     "GeoTiffStreamWriter",
+    "GeoTiffCogStreamWriter",
     "Affine",
     "geo_transform_from_mixer",
     "pixel_to_geo",

@@ -500,6 +500,246 @@ class GeoTiffStreamWriter:
         return False
 
 
+class GeoTiffCogStreamWriter:
+    """Incremental tiled-GeoTIFF writer WITH mean-pooled overview pyramids
+    — COG-style output for rasters larger than host RAM.
+
+    Same push API as :class:`GeoTiffStreamWriter` (``write_rows`` in row
+    order, then ``close``), but the base page is tiled and ``close()``
+    builds the overview levels by reading the just-written tiles back
+    from disk band-by-band and 2x2-pooling them level by level (floats:
+    mean; ints: decimation — matching :func:`write_cog`). Peak host
+    memory is O(tile_size × W × C) regardless of scene height.
+
+    Layout: header → base tiles (streamed) → level-1 tiles → … → all
+    IFDs (chained) at the end of file, header patched to the first. The
+    IFD-last layout trades the COG spec's header-first read optimization
+    for single-pass writability; readers that follow the header pointer
+    (GDAL, :class:`GeoTiffScene`) read it as an ordinary tiled GeoTIFF
+    with overviews. Reference: utils/raster_tools.py:411-461 materializes
+    the full raster before gdal.Translate."""
+
+    def __init__(
+        self,
+        path: str,
+        height: int,
+        width: int,
+        channels: int,
+        dtype,
+        transform: Optional[Sequence[float]] = None,
+        crs: str = "",
+        nodata=None,
+        compress: bool = True,
+        tile_size: int = 256,
+        overview_levels: Optional[int] = None,
+    ):
+        dtype = np.dtype(dtype)
+        if dtype not in _SAMPLE_FORMATS:
+            raise ValueError(f"unsupported sample dtype {dtype}")
+        if height <= 0 or width <= 0 or channels <= 0:
+            raise ValueError("height/width/channels must be positive")
+        if tile_size % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        self.shape = (height, width, channels)
+        self.dtype = dtype
+        self._geo = (transform, crs, nodata)
+        self._compress = compress
+        self._ts = tile_size
+        n = overview_levels
+        if n is None:
+            n, m = 0, max(height, width)
+            while m > tile_size:
+                m //= 2
+                n += 1
+        self._n_levels = n
+        self._f = open(path, "wb")
+        self._f.write(b"II*\x00" + struct.pack("<I", 0))
+        self._pos = 8
+        # per-page: dict(h, w, offsets, counts) — filled as pages stream
+        self._pages: list = []
+        self._pending: list = []
+        self._pending_rows = 0
+        self._rows_written = 0
+        self._closed = False
+
+    # -- tile-band plumbing -------------------------------------------------
+    def _flush_tile_band(self, page, band: np.ndarray) -> None:
+        """Write one horizontal band (≤ tile_size rows, full width) of a
+        page as zero-padded tiles (the same padding _page_ifd applies)."""
+        ts = self._ts
+        n, w = band.shape[0], page["w"]
+        c = self.shape[2]
+        for tx in range(0, w, ts):
+            tile = np.zeros((ts, ts, c), self.dtype)
+            sub = band[:, tx : tx + ts]
+            tile[:n, : sub.shape[1]] = sub
+            chunk = tile.tobytes()
+            if self._compress:
+                chunk = zlib.compress(chunk, 6)
+            if self._pos + len(chunk) > 0xFFFF0000:
+                raise ValueError(
+                    "output exceeds the classic-TIFF 4 GiB offset limit "
+                    "(BigTIFF not implemented); split the output")
+            page["offsets"].append(self._pos)
+            page["counts"].append(len(chunk))
+            self._f.write(chunk)
+            self._pos += len(chunk)
+            if len(chunk) % 2:
+                self._f.write(b"\x00")
+                self._pos += 1
+
+    def _read_band(self, page, y0: int, n: int) -> np.ndarray:
+        """Read rows [y0, y0+n) of an already-written page from disk."""
+        ts = self._ts
+        w, c = page["w"], self.shape[2]
+        out = np.zeros((n, w, c), self.dtype)
+        tiles_across = -(-w // ts)
+        self._f.flush()
+        with open(self._f.name, "rb") as rf:
+            for ty in range(y0 // ts * ts, min(y0 + n, page["h"]), ts):
+                trow = ty // ts
+                for ix in range(tiles_across):
+                    i = trow * tiles_across + ix
+                    rf.seek(page["offsets"][i])
+                    raw = rf.read(page["counts"][i])
+                    if self._compress:
+                        raw = zlib.decompress(raw)
+                    tile = np.frombuffer(raw, self.dtype).reshape(ts, ts, c)
+                    ylo, yhi = max(ty, y0), min(ty + ts, y0 + n, page["h"])
+                    xlo, xhi = ix * ts, min(ix * ts + ts, w)
+                    out[ylo - y0 : yhi - y0, xlo:xhi] = tile[
+                        ylo - ty : yhi - ty, : xhi - xlo]
+        return out
+
+    def _pool(self, band: np.ndarray) -> np.ndarray:
+        """2x2 downsample one band (mean for floats, decimation for ints
+        — exactly write_cog's rule)."""
+        h2 = band.shape[0] // 2 * 2
+        w2 = band.shape[1] // 2 * 2
+        p = band[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, band.shape[2])
+        if np.issubdtype(self.dtype, np.floating):
+            return p.mean(axis=(1, 3)).astype(self.dtype)
+        return p[:, 0, :, 0]
+
+    # -- public API -----------------------------------------------------
+    def write_rows(self, rows: np.ndarray) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
+        rows = np.asarray(rows)
+        if rows.ndim == 2:
+            rows = rows[..., None]
+        h, w, c = self.shape
+        if rows.shape[1:] != (w, c):
+            raise ValueError(f"row block shape {rows.shape} != (*, {w}, {c})")
+        if rows.dtype != self.dtype:
+            raise ValueError(f"row block dtype {rows.dtype} != {self.dtype}")
+        if self._rows_written + rows.shape[0] > h:
+            raise ValueError(
+                f"rows overflow: {self._rows_written} + {rows.shape[0]} > {h}")
+        if not self._pages:
+            self._pages.append({"h": h, "w": w, "offsets": [], "counts": []})
+        self._rows_written += rows.shape[0]
+        self._pending.append(rows)
+        self._pending_rows += rows.shape[0]
+        while self._pending_rows >= self._ts:
+            buf = np.concatenate(self._pending) if len(self._pending) > 1 \
+                else self._pending[0]
+            self._flush_tile_band(self._pages[0], buf[: self._ts])
+            rest = buf[self._ts:]
+            self._pending = [rest] if rest.shape[0] else []
+            self._pending_rows = rest.shape[0]
+
+    def abort(self) -> None:
+        """Close WITHOUT finalizing (no IFDs; not a valid TIFF)."""
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        h, w, c = self.shape
+        if self._rows_written != h:
+            self.abort()
+            raise ValueError(f"wrote {self._rows_written} rows, expected {h}")
+        if not self._pages:  # h>0 guaranteed, so rows arrived; safety
+            self._pages.append({"h": h, "w": w, "offsets": [], "counts": []})
+        if self._pending_rows:
+            self._flush_tile_band(
+                self._pages[0],
+                np.concatenate(self._pending) if len(self._pending) > 1
+                else self._pending[0])
+            self._pending, self._pending_rows = [], 0
+
+        # overview cascade: each level streams off the previous one's
+        # tiles in 2·tile_size-row source bands -> tile_size-row bands
+        for _ in range(self._n_levels):
+            src = self._pages[-1]
+            lh, lw = src["h"] // 2, src["w"] // 2
+            if lh < 1 or lw < 1:
+                break
+            page = {"h": lh, "w": lw, "offsets": [], "counts": []}
+            self._pages.append(page)
+            carry = None
+            for y0 in range(0, src["h"] // 2 * 2, 2 * self._ts):
+                n = min(2 * self._ts, src["h"] // 2 * 2 - y0)
+                pooled = self._pool(self._read_band(src, y0, n))
+                if carry is not None:
+                    pooled = np.concatenate([carry, pooled])
+                    carry = None
+                if pooled.shape[0] % self._ts and y0 + n < src["h"] // 2 * 2:
+                    cut = pooled.shape[0] // self._ts * self._ts
+                    pooled, carry = pooled[:cut], pooled[cut:]
+                for b0 in range(0, pooled.shape[0], self._ts):
+                    self._flush_tile_band(page, pooled[b0 : b0 + self._ts])
+            if min(lh, lw) <= 1:
+                break
+
+        # IFD chain at end of file; header patched to the first
+        transform, crs, nodata = self._geo
+        builders = []
+        tf_level = transform
+        for i, page in enumerate(self._pages):
+            b = _IFDBuilder()
+            _base_tags(b, page["h"], page["w"], c, self.dtype,
+                       self._compress, tf_level, crs, nodata,
+                       subfile_type=1 if i else None)
+            b.add(_TILE_WIDTH, _TYPE_LONG, self._ts)
+            b.add(_TILE_LENGTH, _TYPE_LONG, self._ts)
+            b.add(_TILE_OFFSETS, _TYPE_LONG, page["offsets"])
+            b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, page["counts"])
+            builders.append(b)
+            if tf_level is not None:
+                a, sh, tx, sd, e, ty = tf_level
+                tf_level = (a * 2, sh, tx, sd, e * 2, ty)
+        sizes = []
+        for b in builders:
+            ifd, outline = b.serialize(self._pos)  # measure
+            sizes.append(len(ifd) + len(outline))
+        first_ifd = self._pos
+        pos = first_ifd
+        for i, (b, size) in enumerate(zip(builders, sizes)):
+            nxt = pos + size if i + 1 < len(builders) else 0
+            ifd, outline = b.serialize(pos, nxt)
+            self._f.write(ifd)
+            self._f.write(outline)
+            pos += size
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", first_ifd))
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------

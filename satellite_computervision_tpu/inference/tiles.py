@@ -586,7 +586,8 @@ class TiledInferenceEngine:
 
     def predict_scene_to_geotiff(self, scene, path, transform=None,
                                  crs: str = "", nodata_tag=None,
-                                 compress: bool = True) -> str:
+                                 compress: bool = True,
+                                 cog: bool = False) -> str:
         """Predict a scene and stream the result straight into a striped
         GeoTIFF at ``path`` — the disk→disk swath-serving pipeline.
 
@@ -597,10 +598,15 @@ class TiledInferenceEngine:
         back to one :meth:`predict_scene` pass then a single write.
 
         ``nodata_tag`` only stamps GDAL_NODATA on the output file (the
-        engine's own ``nodata`` controls input chip culling). Returns
-        ``path``. Reference: utils/prediction_tools.py:447-536 builds the
-        full array, then hands it to rasterio."""
-        from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+        engine's own ``nodata`` controls input chip culling). With
+        ``cog=True`` the output is tiled with mean-pooled overview
+        pyramids (geo.GeoTiffCogStreamWriter) — still O(band) memory.
+        Returns ``path``. Reference: utils/prediction_tools.py:447-536
+        builds the full array, then hands it to rasterio."""
+        from satellite_computervision_tpu.geo import (
+            GeoTiffCogStreamWriter,
+            GeoTiffStreamWriter,
+        )
         from satellite_computervision_tpu.geo.geotiff import coerce_sample_dtype
 
         h, w = scene.shape[:2]
@@ -615,7 +621,8 @@ class TiledInferenceEngine:
                 # banded and non-banded outputs of the same engine agree
                 target = coerce_sample_dtype(block.dtype)
                 cast = target if target != block.dtype else None
-                writer = GeoTiffStreamWriter(
+                cls = GeoTiffCogStreamWriter if cog else GeoTiffStreamWriter
+                writer = cls(
                     path, h, w, self.out_channels, target,
                     transform=transform, crs=crs, nodata=nodata_tag,
                     compress=compress)

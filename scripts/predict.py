@@ -293,13 +293,14 @@ def main(argv=None):
         out_crs = args.crs or meta.get("crs", "")
         banded = (engine.max_rows is not None
                   and scene.shape[0] > engine.max_rows)
-        if banded and not args.cog:
+        if banded:
             # disk→disk streaming: output rows hit the GeoTIFF as each
             # band completes; with a file-backed input host memory is
-            # O(band) end to end (COG needs the full array for overviews)
+            # O(band) end to end. --cog streams tiles + overview pyramids
+            # (GeoTiffCogStreamWriter) at the same memory bound
             engine.predict_scene_to_geotiff(scene, out, transform=out_tf,
-                                            crs=out_crs)
-            print(f"wrote {out} (streamed banded) "
+                                            crs=out_crs, cog=args.cog)
+            print(f"wrote {out} (streamed banded{', cog' if args.cog else ''}) "
                   f"shape={(scene.shape[0], scene.shape[1], cfg.num_classes)}")
             return
         if (nodata is not None and engine.tile_mode == "chips"
@@ -405,12 +406,13 @@ def main(argv=None):
             for p in paths:
                 scene, meta = load_scene(p, args.max_rows)
                 out = out_path(p)
-                if args.cog or scene.shape[0] <= args.max_rows:
+                if scene.shape[0] <= args.max_rows:
                     pred = np.asarray(engine.predict_scene(scene))
                     (write_cog if args.cog else write_geotiff)(
                         out, pred, **geo_kwargs(meta))
                 else:
                     engine.predict_scene_to_geotiff(scene, out,
+                                                    cog=args.cog,
                                                     **geo_kwargs(meta))
                 h, w = scene.shape[:2]
                 mpix += h * w / 1e6

@@ -217,3 +217,83 @@ def test_stream_writer_abort(tmp_path):
             raise RuntimeError("boom")
     with pytest.raises(Exception):
         GeoTiffScene(path)  # header points at IFD offset 0 — not a TIFF
+
+
+def test_cog_stream_writer_matches_bulk_cog(tmp_path, rng):
+    """GeoTiffCogStreamWriter fed row blocks produces pages with the same
+    values as the in-memory write_cog: identical base raster, identical
+    mean-pooled overview pixels, same per-level transform scaling — while
+    never holding more than O(tile_size x W) rows."""
+    from satellite_computervision_tpu.geo import GeoTiffCogStreamWriter
+
+    img = rng.normal(size=(300, 280, 2)).astype(np.float32)
+    bulk = str(tmp_path / "bulk.tif")
+    write_cog(bulk, img, transform=TRANSFORM, crs="EPSG:32617",
+              tile_size=128, nodata=0.0)
+    streamed = str(tmp_path / "streamed.tif")
+    with GeoTiffCogStreamWriter(streamed, 300, 280, 2, np.float32,
+                                transform=TRANSFORM, crs="EPSG:32617",
+                                nodata=0.0, tile_size=128) as wr:
+        y = 0
+        for n in (1, 99, 64, 100, 36):  # uneven blocks spanning tile bands
+            wr.write_rows(img[y : y + n])
+            y += n
+    page = 0
+    while True:
+        try:
+            got, gmeta = read_geotiff(streamed, page=page)
+        except IndexError:
+            break
+        want, wmeta = read_geotiff(bulk, page=page)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+        assert gmeta["transform"] == wmeta["transform"]
+        assert gmeta["nodata"] == 0.0
+        page += 1
+    assert page >= 3  # base + at least two overview levels
+
+    # windowed reads work on the streamed layout
+    from satellite_computervision_tpu.geo import GeoTiffScene
+
+    sc = GeoTiffScene(streamed)
+    np.testing.assert_array_equal(sc[40:200, 33:257], img[40:200, 33:257])
+
+
+def test_cog_stream_writer_int_decimation(tmp_path, rng):
+    """Integer overviews decimate (write_cog's rule), and uncompressed
+    streamed COGs decode with PIL (independent TIFF implementation)."""
+    from satellite_computervision_tpu.geo import GeoTiffCogStreamWriter
+
+    img = rng.integers(0, 255, (90, 70, 1), np.uint8)
+    path = str(tmp_path / "u8.tif")
+    with GeoTiffCogStreamWriter(path, 90, 70, 1, np.uint8, tile_size=32,
+                                compress=False, overview_levels=1) as wr:
+        wr.write_rows(img)
+    base, _ = read_geotiff(path, page=0)
+    np.testing.assert_array_equal(base, img)
+    over, _ = read_geotiff(path, page=1)
+    np.testing.assert_array_equal(over, img[:90 // 2 * 2:2, :70 // 2 * 2:2])
+
+    from PIL import Image
+
+    with Image.open(path) as im:
+        np.testing.assert_array_equal(np.asarray(im), img[..., 0])
+
+
+def test_cog_stream_writer_contract(tmp_path):
+    from satellite_computervision_tpu.geo import GeoTiffCogStreamWriter, GeoTiffScene
+
+    wr = GeoTiffCogStreamWriter(str(tmp_path / "a.tif"), 10, 4, 1, np.uint8)
+    wr.write_rows(np.zeros((6, 4, 1), np.uint8))
+    with pytest.raises(ValueError, match="overflow"):
+        wr.write_rows(np.zeros((5, 4, 1), np.uint8))
+    with pytest.raises(ValueError, match="expected 10"):
+        wr.close()
+    with pytest.raises(ValueError, match="multiples of 16"):
+        GeoTiffCogStreamWriter(str(tmp_path / "b.tif"), 10, 4, 1, np.uint8,
+                               tile_size=100)
+    path = str(tmp_path / "c.tif")
+    with pytest.raises(RuntimeError):
+        with GeoTiffCogStreamWriter(path, 10, 4, 1, np.uint8) as wr2:
+            raise RuntimeError("x")
+    with pytest.raises(Exception):
+        GeoTiffScene(path)  # aborted -> unfinalized

@@ -404,3 +404,24 @@ def test_engine_stream_to_geotiff_coerces_dtype(tmp_path, rng):
     assert back.dtype == np.float32
     want = np.asarray(engine.predict_scene(scene)).astype(np.float32)
     np.testing.assert_allclose(back, want, rtol=1e-3, atol=1e-3)
+
+
+def test_engine_stream_to_cog(tmp_path, rng):
+    """cog=True streams tiled output + overview pyramid at the same band
+    memory bound; base page equals the plain streamed output."""
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    scene = rng.normal(size=(420, 200, 2)).astype(np.float32)
+    engine = TiledInferenceEngine(
+        _mean_model, kernel=64, buffer=32, batch_size=4, out_channels=1,
+        blend="hann", max_rows=160,
+    )
+    want = np.asarray(engine.predict_scene(scene))
+    path = str(tmp_path / "pred_cog.tif")
+    engine.predict_scene_to_geotiff(scene, path, transform=(10, 0, 0, 0, -10, 0),
+                                    crs="EPSG:32617", cog=True)
+    base, meta = read_geotiff(path, page=0)
+    np.testing.assert_array_equal(base, want)
+    over, over_meta = read_geotiff(path, page=1)
+    assert over.shape == (210, 100, 1)
+    assert over_meta["transform"][0] == 20.0
