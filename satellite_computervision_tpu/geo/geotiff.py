@@ -6,7 +6,9 @@ utils/raster_tools.py:367-461; rio.open GTiff writes,
 utils/prediction_tools.py:447-536) are implemented directly against the
 TIFF 6.0 + GeoTIFF 1.1 specs:
 
-- classic little-endian TIFF, striped or tiled layout,
+- classic little-endian TIFF, striped or tiled layout (BigTIFF — version
+  43, 64-bit offsets — when the raster would overflow classic TIFF's
+  4 GiB offsets, or on request via ``bigtiff=True``),
 - float32/float64/uint8/uint16/int16/int32 samples, pixel-interleaved,
 - optional DEFLATE (zlib) compression,
 - georeferencing via ModelPixelScale + ModelTiepoint (or a full
@@ -14,8 +16,13 @@ TIFF 6.0 + GeoTIFF 1.1 specs:
   EPSG projected/geographic CRS codes, GDAL_NODATA,
 - COG writer: 256x256 tiles + power-of-two mean-pooled overview IFDs.
 
-The reader parses the same subset back (enough for round-trip tests and
-chip loading from our own exports).
+The reader parses the same subset back, plus the encodings GDAL/rasterio
+commonly emit that we never write: LZW (compression 5, early-change
+variant) and PackBits (32773) chunks, and predictor 2 (integer
+horizontal differencing) / predictor 3 (floating-point byte-plane
+differencing) — so real-world COG assets (NAIP / Sentinel-2 on the
+Planetary Computer, the reference's inputs via rasterio) decode here
+without GDAL.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
+_PREDICTOR = 317
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _MODEL_TRANSFORMATION = 34264
@@ -54,8 +62,29 @@ _TYPE_SHORT = 3
 _TYPE_LONG = 4
 _TYPE_ASCII = 2
 _TYPE_DOUBLE = 12
+_TYPE_LONG8 = 16  # BigTIFF 64-bit unsigned
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+
+# last classic-TIFF offset a chunk may start at (IFD + outline follow)
+_CLASSIC_LIMIT = 0xFFFF0000
+
+
+def _auto_bigtiff(height, width, channels, itemsize, tile_size=None,
+                  overviews=False) -> bool:
+    """Conservative pre-write estimate of whether a raster needs 64-bit
+    offsets: padded-tile payload (+1/3 for an overview pyramid) vs the
+    classic limit. Compression only shrinks zlib payloads by more than
+    the per-chunk overhead, so an uncompressed-size estimate is safe."""
+    if tile_size:
+        h = -(-height // tile_size) * tile_size
+        w = -(-width // tile_size) * tile_size
+    else:
+        h, w = height, width
+    est = h * w * channels * itemsize
+    if overviews:
+        est += est // 3
+    return est > _CLASSIC_LIMIT - (1 << 20)
 
 _SAMPLE_FORMATS = {
     np.dtype("uint8"): 1,
@@ -102,10 +131,30 @@ def _geokeys(crs: str):
     return directory, ascii_params
 
 
-class _IFDBuilder:
-    """Accumulates (tag, type, values) entries and out-of-line data."""
+def _header_bytes(big: bool, ifd_offset: int) -> bytes:
+    """The file header; patch the IFD pointer later at _ptr_patch(big)."""
+    if big:
+        return b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_offset)
+    return b"II*\x00" + struct.pack("<I", ifd_offset)
 
-    def __init__(self):
+
+def _ptr_patch(big: bool):
+    """(seek position, struct format) of the first-IFD pointer."""
+    return (8, "<Q") if big else (4, "<I")
+
+
+def _off_type(big: bool) -> int:
+    """Tag type for strip/tile offset + byte-count arrays."""
+    return _TYPE_LONG8 if big else _TYPE_LONG
+
+
+class _IFDBuilder:
+    """Accumulates (tag, type, values) entries and out-of-line data.
+    ``big=True`` emits the BigTIFF directory layout (8-byte entry count,
+    20-byte entries with 8-byte inline values, 8-byte next pointer)."""
+
+    def __init__(self, big: bool = False):
+        self.big = big
         self.entries = []
 
     def add(self, tag, type_, values):
@@ -121,10 +170,17 @@ class _IFDBuilder:
         """Return (ifd_bytes, outline_bytes); outline data is placed
         immediately after the IFD."""
         n = len(self.entries)
-        outline_offset = ifd_offset + 2 + n * 12 + 4
-        ifd = struct.pack("<H", n)
+        if self.big:
+            entry_size, inline, cnt_fmt, off_fmt = 20, 8, "<Q", "<Q"
+        else:
+            entry_size, inline, cnt_fmt, off_fmt = 12, 4, "<I", "<I"
+        head_size = 8 if self.big else 2
+        outline_offset = (ifd_offset + head_size + n * entry_size
+                          + struct.calcsize(off_fmt))
+        ifd = struct.pack("<Q" if self.big else "<H", n)
         outline = b""
-        fmt = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d", 11: "<f"}
+        fmt = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d",
+               11: "<f", _TYPE_LONG8: "<Q"}
         for tag, type_, values in sorted(self.entries):
             if type_ == _TYPE_ASCII:
                 raw = bytes(values)
@@ -132,15 +188,16 @@ class _IFDBuilder:
             else:
                 raw = b"".join(struct.pack(fmt[type_], v) for v in values)
                 count = len(values)
-            if len(raw) <= 4:
-                value_field = raw + b"\x00" * (4 - len(raw))
+            if len(raw) <= inline:
+                value_field = raw + b"\x00" * (inline - len(raw))
             else:
-                value_field = struct.pack("<I", outline_offset + len(outline))
+                value_field = struct.pack(off_fmt, outline_offset + len(outline))
                 outline += raw
                 if len(outline) % 2:
                     outline += b"\x00"
-            ifd += struct.pack("<HHI", tag, type_, count) + value_field
-        ifd += struct.pack("<I", next_ifd)
+            ifd += struct.pack("<HH", tag, type_)
+            ifd += struct.pack(cnt_fmt, count) + value_field
+        ifd += struct.pack(off_fmt, next_ifd)
         return ifd, outline
 
 
@@ -193,6 +250,7 @@ def _page_ifd(
     compress: bool,
     tile_size: Optional[int],
     subfile_type: Optional[int] = None,
+    big: bool = False,
 ):
     """Build one TIFF page (IFD + pixel data) for an (H, W, C) array."""
     h, w, c = image.shape
@@ -222,39 +280,41 @@ def _page_ifd(
         counts.append(len(chunk))
         pos += len(chunk) + (len(chunk) % 2)
 
-    b = _IFDBuilder()
+    b = _IFDBuilder(big)
     _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata, subfile_type)
+    off_t = _off_type(big)
     if tile_size:
         b.add(_TILE_WIDTH, _TYPE_LONG, tile_size)
         b.add(_TILE_LENGTH, _TYPE_LONG, tile_size)
-        b.add(_TILE_OFFSETS, _TYPE_LONG, offsets)
-        b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, counts)
+        b.add(_TILE_OFFSETS, off_t, offsets)
+        b.add(_TILE_BYTE_COUNTS, off_t, counts)
     else:
         b.add(_ROWS_PER_STRIP, _TYPE_LONG, rows_per_strip)
-        b.add(_STRIP_OFFSETS, _TYPE_LONG, offsets)
-        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, counts)
+        b.add(_STRIP_OFFSETS, off_t, offsets)
+        b.add(_STRIP_BYTE_COUNTS, off_t, counts)
 
     return b, chunks, offsets, counts
 
 
-def _write_pages(path, pages):
+def _write_pages(path, pages, big: bool = False):
     """pages: list of (image, transform, crs, nodata, compress, tile_size,
     subfile_type)."""
     with open(path, "wb") as f:
-        f.write(b"II*\x00")
-        f.write(struct.pack("<I", 8))
-        pos = 8
+        pos = len(_header_bytes(big, 0))
+        f.write(_header_bytes(big, pos))
         for i, (image, transform, crs, nodata, compress, tile_size, subfile) in enumerate(
             pages
         ):
             # Two-pass per page: measure IFD size, then emit IFD + data.
             probe, _, _, _ = _page_ifd(
-                image, 0, pos, transform, crs, nodata, compress, tile_size, subfile
+                image, 0, pos, transform, crs, nodata, compress, tile_size,
+                subfile, big
             )
             probe_bytes, probe_outline = probe.serialize(pos)
             data_offset = pos + len(probe_bytes) + len(probe_outline)
             builder, chunks, offsets, _ = _page_ifd(
-                image, data_offset, pos, transform, crs, nodata, compress, tile_size, subfile
+                image, data_offset, pos, transform, crs, nodata, compress,
+                tile_size, subfile, big
             )
             data_size = (offsets[-1] + len(chunks[-1]) + (len(chunks[-1]) % 2)) - data_offset
             next_ifd = 0 if i == len(pages) - 1 else data_offset + data_size
@@ -291,15 +351,21 @@ def write_geotiff(
     crs: str = "",
     nodata=None,
     compress: bool = True,
+    bigtiff: Optional[bool] = None,
 ) -> None:
     """Write an (H, W[, C]) array as a striped GeoTIFF.
 
     ``transform`` is the EE/GDAL-style affine row-major 2x3:
     (xscale, xshear, xtrans, yshear, yscale, ytrans)
-    (utils/prediction_tools.py:450-455).
+    (utils/prediction_tools.py:450-455). ``bigtiff`` None = auto: use
+    64-bit offsets when the raster would overflow classic TIFF's 4 GiB.
     """
     image = _as_hwc(image)
-    _write_pages(path, [(image, transform, crs, nodata, compress, None, None)])
+    if bigtiff is None:
+        h, w, c = image.shape
+        bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize)
+    _write_pages(path, [(image, transform, crs, nodata, compress, None, None)],
+                 big=bigtiff)
 
 
 def write_cog(
@@ -311,11 +377,17 @@ def write_cog(
     tile_size: int = 256,
     overview_levels: Optional[int] = None,
     compress: bool = True,
+    bigtiff: Optional[bool] = None,
 ) -> None:
     """Write a Cloud-Optimized GeoTIFF: tiled base page + mean-pooled
     overview pages (the gdal.Translate COG path of
-    utils/raster_tools.py:400-409)."""
+    utils/raster_tools.py:400-409). ``bigtiff`` None = auto (see
+    :func:`write_geotiff`)."""
     image = _as_hwc(image)
+    if bigtiff is None:
+        h, w, c = image.shape
+        bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize,
+                                tile_size=tile_size, overviews=True)
     pages = [(image, transform, crs, nodata, compress, tile_size, None)]
     level = image
     n_levels = overview_levels
@@ -340,7 +412,7 @@ def write_cog(
         pages.append((level, scale, crs, nodata, compress, tile_size, 1))
         if min(level.shape[:2]) <= 1:
             break
-    _write_pages(path, pages)
+    _write_pages(path, pages, big=bigtiff)
 
 
 class GeoTiffStreamWriter:
@@ -376,20 +448,25 @@ class GeoTiffStreamWriter:
         nodata=None,
         compress: bool = True,
         rows_per_strip: Optional[int] = None,
+        bigtiff: Optional[bool] = None,
     ):
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
             raise ValueError(f"unsupported sample dtype {dtype}")
         if height <= 0 or width <= 0 or channels <= 0:
             raise ValueError("height/width/channels must be positive")
-        if not compress and height * width * channels * dtype.itemsize > 0xFFFF0000:
-            # classic TIFF carries 32-bit offsets; fail before hours of
-            # prediction stream into a file that can't be finalized
-            # (BigTIFF is not implemented — compress, tile, or split)
+        if bigtiff is None:
+            # auto: 64-bit offsets when the raster would overflow classic
+            # TIFF's 4 GiB — decided up front (strips stream; no second pass)
+            bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize)
+        elif not bigtiff and not compress and _auto_bigtiff(
+                height, width, channels, dtype.itemsize):
+            # forced classic + uncompressed: the overflow is knowable now —
+            # fail at construction, not after hours of streaming
             raise ValueError(
-                f"{height}x{width}x{channels} {dtype} exceeds the classic-"
-                "TIFF 4 GiB offset limit; enable compress, or split the "
-                "output")
+                "uncompressed raster exceeds the classic-TIFF 4 GiB offset "
+                "limit; pass bigtiff=True or split the output")
+        self._big = bigtiff
         self.shape = (height, width, channels)
         self.dtype = dtype
         self._geo = (transform, crs, nodata)
@@ -397,8 +474,8 @@ class GeoTiffStreamWriter:
         self._rps = rows_per_strip or _default_rows_per_strip(
             width, channels, dtype.itemsize)
         self._f = open(path, "wb")
-        self._f.write(b"II*\x00" + struct.pack("<I", 0))  # IFD ptr patched at close
-        self._pos = 8
+        self._f.write(_header_bytes(bigtiff, 0))  # IFD ptr patched at close
+        self._pos = self._f.tell()
         self._offsets: list = []
         self._counts: list = []
         self._pending: list = []  # buffered rows short of one strip
@@ -410,12 +487,13 @@ class GeoTiffStreamWriter:
         chunk = np.ascontiguousarray(arr).tobytes()
         if self._compress:
             chunk = zlib.compress(chunk, 6)
-        if self._pos + len(chunk) > 0xFFFF0000:
-            # compressed data can overflow too; raise at the first strip
-            # that would, not inside close()'s struct.pack
+        if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
+            # raise at the first strip that would overflow, not inside
+            # close()'s struct.pack (the auto estimate is conservative, so
+            # this only fires when bigtiff=False was forced)
             raise ValueError(
-                "output exceeds the classic-TIFF 4 GiB offset limit "
-                "(BigTIFF not implemented); split the output")
+                "output exceeds the classic-TIFF 4 GiB offset limit; "
+                "pass bigtiff=True or split the output")
         self._offsets.append(self._pos)
         self._counts.append(len(chunk))
         self._f.write(chunk)
@@ -467,17 +545,19 @@ class GeoTiffStreamWriter:
             self._pending = []
             self._pending_rows = 0
         transform, crs, nodata = self._geo
-        b = _IFDBuilder()
+        b = _IFDBuilder(self._big)
         _base_tags(b, h, w, c, self.dtype, self._compress, transform, crs,
                    nodata)
+        off_t = _off_type(self._big)
         b.add(_ROWS_PER_STRIP, _TYPE_LONG, self._rps)
-        b.add(_STRIP_OFFSETS, _TYPE_LONG, self._offsets)
-        b.add(_STRIP_BYTE_COUNTS, _TYPE_LONG, self._counts)
+        b.add(_STRIP_OFFSETS, off_t, self._offsets)
+        b.add(_STRIP_BYTE_COUNTS, off_t, self._counts)
         ifd_bytes, outline = b.serialize(self._pos)
         self._f.write(ifd_bytes)
         self._f.write(outline)
-        self._f.seek(4)
-        self._f.write(struct.pack("<I", self._pos))
+        seek, fmt = _ptr_patch(self._big)
+        self._f.seek(seek)
+        self._f.write(struct.pack(fmt, self._pos))
         self._f.close()
         self._closed = True
 
@@ -532,6 +612,7 @@ class GeoTiffCogStreamWriter:
         compress: bool = True,
         tile_size: int = 256,
         overview_levels: Optional[int] = None,
+        bigtiff: Optional[bool] = None,
     ):
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
@@ -540,6 +621,10 @@ class GeoTiffCogStreamWriter:
             raise ValueError("height/width/channels must be positive")
         if tile_size % 16:
             raise ValueError("TIFF tile dimensions must be multiples of 16")
+        if bigtiff is None:
+            bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize,
+                                    tile_size=tile_size, overviews=True)
+        self._big = bigtiff
         self.shape = (height, width, channels)
         self.dtype = dtype
         self._geo = (transform, crs, nodata)
@@ -553,8 +638,8 @@ class GeoTiffCogStreamWriter:
                 n += 1
         self._n_levels = n
         self._f = open(path, "wb")
-        self._f.write(b"II*\x00" + struct.pack("<I", 0))
-        self._pos = 8
+        self._f.write(_header_bytes(bigtiff, 0))
+        self._pos = self._f.tell()
         # per-page: dict(h, w, offsets, counts) — filled as pages stream
         self._pages: list = []
         self._pending: list = []
@@ -576,10 +661,10 @@ class GeoTiffCogStreamWriter:
             chunk = tile.tobytes()
             if self._compress:
                 chunk = zlib.compress(chunk, 6)
-            if self._pos + len(chunk) > 0xFFFF0000:
+            if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
                 raise ValueError(
-                    "output exceeds the classic-TIFF 4 GiB offset limit "
-                    "(BigTIFF not implemented); split the output")
+                    "output exceeds the classic-TIFF 4 GiB offset limit; "
+                    "pass bigtiff=True or split the output")
             page["offsets"].append(self._pos)
             page["counts"].append(len(chunk))
             self._f.write(chunk)
@@ -699,15 +784,16 @@ class GeoTiffCogStreamWriter:
         transform, crs, nodata = self._geo
         builders = []
         tf_level = transform
+        off_t = _off_type(self._big)
         for i, page in enumerate(self._pages):
-            b = _IFDBuilder()
+            b = _IFDBuilder(self._big)
             _base_tags(b, page["h"], page["w"], c, self.dtype,
                        self._compress, tf_level, crs, nodata,
                        subfile_type=1 if i else None)
             b.add(_TILE_WIDTH, _TYPE_LONG, self._ts)
             b.add(_TILE_LENGTH, _TYPE_LONG, self._ts)
-            b.add(_TILE_OFFSETS, _TYPE_LONG, page["offsets"])
-            b.add(_TILE_BYTE_COUNTS, _TYPE_LONG, page["counts"])
+            b.add(_TILE_OFFSETS, off_t, page["offsets"])
+            b.add(_TILE_BYTE_COUNTS, off_t, page["counts"])
             builders.append(b)
             if tf_level is not None:
                 a, sh, tx, sd, e, ty = tf_level
@@ -724,8 +810,9 @@ class GeoTiffCogStreamWriter:
             self._f.write(ifd)
             self._f.write(outline)
             pos += size
-        self._f.seek(4)
-        self._f.write(struct.pack("<I", first_ifd))
+        seek, fmt = _ptr_patch(self._big)
+        self._f.seek(seek)
+        self._f.write(struct.pack(fmt, first_ifd))
         self._f.close()
         self._closed = True
 
@@ -745,39 +832,148 @@ class GeoTiffCogStreamWriter:
 # ---------------------------------------------------------------------------
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (MSB-first bit packing, 9→12-bit codes with the
+    libtiff "early change" — code width bumps one entry early). This is
+    the compression GDAL/rasterio commonly emit for COG assets
+    (reference reads them via rasterio: utils/raster_tools.py:367-461),
+    so the self-contained reader must decode it."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+    nbits = 9
+    bitpos = 0
+    total = len(data) * 8
+    prev = b""
+    while bitpos + nbits <= total:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\x00"),
+                                "big")
+        code = (window >> (32 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = b""
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("LZW stream does not start with a clear code")
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change: the ENCODER widens when the next emitted code's
+        # table index reaches 2^nbits - 1, so mirror that here
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits run-length decoding (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n_in = len(data)
+    while i < n_in:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def _undo_predictor(raw: bytes, predictor: int, dtype, rows: int,
+                    width: int, channels: int) -> np.ndarray:
+    """Reverse the TIFF predictor (tag 317) over one decompressed chunk
+    and return the (rows, width, channels) array. Predictor 2 is
+    per-sample horizontal differencing (integer, modulo wraparound);
+    predictor 3 is the floating-point flavor: rows are stored as
+    byte-planes (MSB plane first) with byte-wise differencing."""
+    if predictor == 3:
+        if dtype.kind != "f":
+            raise ValueError("predictor 3 requires floating-point samples")
+        it = dtype.itemsize
+        b = np.frombuffer(raw, np.uint8).reshape(rows, it * width * channels)
+        b = np.cumsum(b, axis=1, dtype=np.uint8)
+        planes = b.reshape(rows, it, width * channels)
+        # plane 0 holds each value's most-significant byte → big-endian
+        be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+        arr = be.view(np.dtype(dtype.str.replace("<", ">")))
+        return arr.reshape(rows, width, channels).astype(dtype)
+    arr = np.frombuffer(raw, dtype).reshape(rows, width, channels)
+    if predictor == 2:
+        if dtype.kind not in "ui":
+            raise ValueError("predictor 2 requires integer samples")
+        u = arr.view(np.dtype(f"u{dtype.itemsize}"))
+        return np.cumsum(u, axis=1, dtype=u.dtype).view(dtype)
+    if predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    return arr
+
+
 def _parse_page_tags(f, page: int = 0):
-    """Parse one IFD's tags from an open file. Seek-based: only the
-    directory (and out-of-line tag payloads) are read, never the raster
-    data — the basis of the windowed reader below."""
+    """Parse one IFD's tags from an open file (classic or BigTIFF).
+    Seek-based: only the directory (and out-of-line tag payloads) are
+    read, never the raster data — the basis of the windowed reader
+    below."""
     f.seek(0)
-    header = f.read(8)
-    if header[:4] != b"II*\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_offset,) = struct.unpack_from("<I", header, 4)
+    header = f.read(16)
+    if header[:4] == b"II*\x00":
+        big = False
+        (ifd_offset,) = struct.unpack_from("<I", header, 4)
+    elif header[:4] == b"II+\x00":
+        offsize, pad = struct.unpack_from("<HH", header, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError(f"unsupported BigTIFF offset size {offsize}")
+        big = True
+        (ifd_offset,) = struct.unpack_from("<Q", header, 8)
+    else:
+        raise ValueError("not a little-endian TIFF")
+    cnt_fmt, cnt_sz = ("<Q", 8) if big else ("<H", 2)
+    off_fmt, off_sz = ("<Q", 8) if big else ("<I", 4)
+    entry_sz, inline = (20, 8) if big else (12, 4)
     for _ in range(page):
         f.seek(ifd_offset)
-        (count,) = struct.unpack("<H", f.read(2))
-        f.seek(ifd_offset + 2 + count * 12)
-        (ifd_offset,) = struct.unpack("<I", f.read(4))
+        (count,) = struct.unpack(cnt_fmt, f.read(cnt_sz))
+        f.seek(ifd_offset + cnt_sz + count * entry_sz)
+        (ifd_offset,) = struct.unpack(off_fmt, f.read(off_sz))
         if ifd_offset == 0:
             raise IndexError("page out of range")
     f.seek(ifd_offset)
-    (count,) = struct.unpack("<H", f.read(2))
-    entries = f.read(count * 12)
+    (count,) = struct.unpack(cnt_fmt, f.read(cnt_sz))
+    entries = f.read(count * entry_sz)
     tags = {}
     for i in range(count):
-        tag, type_, n = struct.unpack_from("<HHI", entries, i * 12)
+        tag, type_ = struct.unpack_from("<HH", entries, i * entry_sz)
+        (n,) = struct.unpack_from(off_fmt, entries, i * entry_sz + 4)
         size = _TYPE_SIZES[type_] * n
-        if size > 4:
-            (data_off,) = struct.unpack_from("<I", entries, i * 12 + 8)
+        value_at = i * entry_sz + 4 + off_sz
+        if size > inline:
+            (data_off,) = struct.unpack_from(off_fmt, entries, value_at)
             f.seek(data_off)
             payload = f.read(size)
         else:
-            payload = entries[i * 12 + 8 : i * 12 + 8 + size]
+            payload = entries[value_at : value_at + size]
         if type_ == _TYPE_ASCII:
             tags[tag] = payload.rstrip(b"\x00").decode("ascii")
         else:
-            fmt = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B"}[type_]
+            fmt = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B",
+                   16: "<Q", 17: "<q"}[type_]
             step = _TYPE_SIZES[type_]
             tags[tag] = [
                 struct.unpack_from(fmt, payload, j * step)[0] for j in range(n)
@@ -834,6 +1030,7 @@ class GeoTiffScene:
         bits = tags[_BITS_PER_SAMPLE][0]
         sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
         self._compression = tags.get(_COMPRESSION, [1])[0]
+        self._predictor = tags.get(_PREDICTOR, [1])[0]
         self.dtype = np.dtype(
             {
                 (1, 8): np.uint8,
@@ -853,10 +1050,23 @@ class GeoTiffScene:
     def ndim(self) -> int:
         return 3
 
-    def _decode(self, f, off, n_bytes):
+    def _decode(self, f, off, n_bytes, rows, width):
+        """Read + decompress one strip/tile and undo the predictor,
+        returning a (rows, width, C) array."""
         f.seek(off)
         raw = f.read(n_bytes)
-        return zlib.decompress(raw) if self._compression == 8 else raw
+        comp = self._compression
+        if comp in (8, 32946):  # DEFLATE (and the old Deflate code)
+            raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        elif comp != 1:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        c = self.shape[2]
+        return _undo_predictor(raw, self._predictor, self.dtype,
+                               rows, width, c)
 
     @staticmethod
     def _axis_range(key, size):
@@ -888,8 +1098,7 @@ class GeoTiffScene:
                 for ty in range(r0 // tl * tl, r1, tl):
                     for tx in range(c0 // ts * ts, c1, ts):
                         i = (ty // tl) * tiles_across + tx // ts
-                        raw = self._decode(f, offsets[i], counts[i])
-                        tile = np.frombuffer(raw, self.dtype).reshape(tl, ts, c)
+                        tile = self._decode(f, offsets[i], counts[i], tl, ts)
                         ylo, yhi = max(ty, r0), min(ty + tl, r1, h)
                         xlo, xhi = max(tx, c0), min(tx + ts, c1, w)
                         out[ylo - r0 : yhi - r0, xlo - c0 : xhi - c0] = tile[
@@ -902,9 +1111,8 @@ class GeoTiffScene:
                     if si >= len(offsets):
                         break
                     sy = si * rps
-                    raw = self._decode(f, offsets[si], counts[si])
                     rows = min(rps, h - sy)
-                    strip = np.frombuffer(raw, self.dtype).reshape(rows, w, c)
+                    strip = self._decode(f, offsets[si], counts[si], rows, w)
                     ylo, yhi = max(sy, r0), min(sy + rows, r1)
                     out[ylo - r0 : yhi - r0] = strip[ylo - sy : yhi - sy, c0:c1]
         return out[..., b0:b1]

@@ -587,7 +587,8 @@ class TiledInferenceEngine:
     def predict_scene_to_geotiff(self, scene, path, transform=None,
                                  crs: str = "", nodata_tag=None,
                                  compress: bool = True,
-                                 cog: bool = False) -> str:
+                                 cog: bool = False,
+                                 bigtiff=None) -> str:
         """Predict a scene and stream the result straight into a striped
         GeoTIFF at ``path`` — the disk→disk swath-serving pipeline.
 
@@ -601,6 +602,8 @@ class TiledInferenceEngine:
         engine's own ``nodata`` controls input chip culling). With
         ``cog=True`` the output is tiled with mean-pooled overview
         pyramids (geo.GeoTiffCogStreamWriter) — still O(band) memory.
+        ``bigtiff`` None = auto: the writer switches to 64-bit offsets
+        when the output would overflow classic TIFF's 4 GiB.
         Returns ``path``. Reference: utils/prediction_tools.py:447-536
         builds the full array, then hands it to rasterio."""
         from satellite_computervision_tpu.geo import (
@@ -625,7 +628,7 @@ class TiledInferenceEngine:
                 writer = cls(
                     path, h, w, self.out_channels, target,
                     transform=transform, crs=crs, nodata=nodata_tag,
-                    compress=compress)
+                    compress=compress, bigtiff=bigtiff)
             writer.write_rows(block.astype(cast) if cast else block)
 
         try:

@@ -192,16 +192,23 @@ def test_stream_writer_contract_errors(tmp_path):
 
 
 def test_stream_writer_overflow_guard(tmp_path):
-    """Classic TIFF carries 32-bit offsets: an uncompressed raster that
-    cannot fit must fail at construction, not after hours of streaming."""
+    """Classic TIFF carries 32-bit offsets: an oversize raster auto-
+    upgrades to BigTIFF, and a FORCED-classic uncompressed raster that
+    cannot fit fails at construction, not after hours of streaming."""
     from satellite_computervision_tpu.geo import GeoTiffStreamWriter
 
-    with pytest.raises(ValueError, match="4 GiB"):
+    with pytest.raises(ValueError, match="bigtiff=True"):
         GeoTiffStreamWriter(str(tmp_path / "big.tif"), 40000, 40000, 3,
-                            np.float32, compress=False)
-    # compressed construction is allowed (size unknowable upfront)
+                            np.float32, compress=False, bigtiff=False)
+    # forced classic + compressed construction is allowed (size unknowable
+    # upfront; the first overflowing strip raises instead)
     wr = GeoTiffStreamWriter(str(tmp_path / "big2.tif"), 40000, 40000, 3,
-                             np.float32, compress=True)
+                             np.float32, compress=True, bigtiff=False)
+    wr.abort()
+    # default (auto) silently upgrades to 64-bit offsets
+    wr = GeoTiffStreamWriter(str(tmp_path / "big3.tif"), 40000, 40000, 3,
+                             np.float32, compress=False)
+    assert wr._big
     wr.abort()
 
 
@@ -297,3 +304,222 @@ def test_cog_stream_writer_contract(tmp_path):
             raise RuntimeError("x")
     with pytest.raises(Exception):
         GeoTiffScene(path)  # aborted -> unfinalized
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (64-bit offsets)
+# ---------------------------------------------------------------------------
+
+
+def _is_bigtiff(path):
+    with open(path, "rb") as f:
+        return f.read(4) == b"II+\x00"
+
+
+def test_bigtiff_roundtrip_and_pil(tmp_path, rng):
+    """bigtiff=True writes version-43 files our reader AND PIL decode to
+    the same pixels/meta as the classic layout."""
+    from PIL import Image
+
+    img = rng.normal(size=(50, 40, 2)).astype(np.float32)
+    path = str(tmp_path / "big.tif")
+    write_geotiff(path, img, transform=TRANSFORM, crs="EPSG:32617",
+                  nodata=255, bigtiff=True)
+    assert _is_bigtiff(path)
+    back, meta = read_geotiff(path)
+    np.testing.assert_array_equal(back, img)
+    assert meta["transform"] == TRANSFORM
+    assert "32617" in meta["crs"]
+    assert meta["nodata"] == 255.0
+
+    # single-band uncompressed -> PIL cross-decode
+    u8 = rng.integers(0, 255, (33, 21), np.uint8)
+    p2 = str(tmp_path / "big_u8.tif")
+    write_geotiff(p2, u8, compress=False, bigtiff=True)
+    assert _is_bigtiff(p2)
+    with Image.open(p2) as im:
+        np.testing.assert_array_equal(np.asarray(im), u8)
+
+
+def test_bigtiff_cog_matches_classic(tmp_path, rng):
+    """write_cog(bigtiff=True) pages equal the classic pages exactly."""
+    img = rng.normal(size=(300, 280, 1)).astype(np.float32)
+    classic = str(tmp_path / "classic.tif")
+    big = str(tmp_path / "big.tif")
+    write_cog(classic, img, transform=TRANSFORM, crs="EPSG:32617",
+              tile_size=128)
+    write_cog(big, img, transform=TRANSFORM, crs="EPSG:32617",
+              tile_size=128, bigtiff=True)
+    assert not _is_bigtiff(classic) and _is_bigtiff(big)
+    page = 0
+    while True:
+        try:
+            want, wmeta = read_geotiff(classic, page=page)
+        except IndexError:
+            with pytest.raises(IndexError):
+                read_geotiff(big, page=page)
+            break
+        got, gmeta = read_geotiff(big, page=page)
+        np.testing.assert_array_equal(got, want)
+        assert gmeta == wmeta
+        page += 1
+    assert page >= 2
+
+
+def test_bigtiff_stream_writers(tmp_path, rng):
+    """Both stream writers honor bigtiff=True; windowed reads work."""
+    from satellite_computervision_tpu.geo import (
+        GeoTiffCogStreamWriter,
+        GeoTiffScene,
+        GeoTiffStreamWriter,
+    )
+
+    img = rng.normal(size=(130, 90, 2)).astype(np.float32)
+    p_strip = str(tmp_path / "strip.tif")
+    with GeoTiffStreamWriter(p_strip, 130, 90, 2, np.float32,
+                             transform=TRANSFORM, crs="EPSG:32617",
+                             bigtiff=True) as wr:
+        wr.write_rows(img[:77])
+        wr.write_rows(img[77:])
+    assert _is_bigtiff(p_strip)
+    back, meta = read_geotiff(p_strip)
+    np.testing.assert_array_equal(back, img)
+    assert meta["transform"] == TRANSFORM
+
+    p_cog = str(tmp_path / "cog.tif")
+    with GeoTiffCogStreamWriter(p_cog, 130, 90, 2, np.float32,
+                                transform=TRANSFORM, crs="EPSG:32617",
+                                tile_size=64, bigtiff=True) as wr:
+        wr.write_rows(img)
+    assert _is_bigtiff(p_cog)
+    base, _ = read_geotiff(p_cog, page=0)
+    np.testing.assert_array_equal(base, img)
+    over, ometa = read_geotiff(p_cog, page=1)
+    assert over.shape == (65, 45, 2)
+    assert ometa["transform"][0] == 20.0
+    sc = GeoTiffScene(p_cog)
+    np.testing.assert_array_equal(sc[10:100, 5:70], img[10:100, 5:70])
+
+
+def test_bigtiff_auto_switch(tmp_path, rng, monkeypatch):
+    """bigtiff=None auto-enables 64-bit offsets when the raster estimate
+    exceeds the classic limit; forced bigtiff=False raises at overflow
+    with a message pointing at bigtiff=True."""
+    from satellite_computervision_tpu.geo import GeoTiffStreamWriter
+    from satellite_computervision_tpu.geo import geotiff as gt
+
+    img = rng.normal(size=(64, 48, 1)).astype(np.float32)
+    # shrink the "4 GiB" limit so a tiny raster crosses it
+    monkeypatch.setattr(gt, "_CLASSIC_LIMIT", (1 << 20) + 1024)
+    auto = str(tmp_path / "auto.tif")
+    write_geotiff(auto, img, transform=TRANSFORM)
+    assert _is_bigtiff(auto)
+    back, _ = read_geotiff(auto)
+    np.testing.assert_array_equal(back, img)
+
+    with pytest.raises(ValueError, match="bigtiff=True"):
+        with GeoTiffStreamWriter(str(tmp_path / "f.tif"), 64, 48, 1,
+                                 np.float32, compress=False,
+                                 bigtiff=False) as wr:
+            monkeypatch.setattr(gt, "_CLASSIC_LIMIT", 1024)
+            wr.write_rows(img)
+
+
+# ---------------------------------------------------------------------------
+# External encodings (LZW / PackBits / predictors) — files we never write
+# but real COG assets carry; cross-validated against libtiff via PIL.
+# ---------------------------------------------------------------------------
+
+
+def _libtiff():
+    from PIL import features
+
+    return features.check("libtiff")
+
+
+@pytest.mark.skipif(not _libtiff(), reason="PIL lacks libtiff")
+def test_read_libtiff_lzw_packbits_predictor(tmp_path):
+    """Decode libtiff-written LZW, PackBits, LZW+predictor-2 (uint8 and
+    uint16) and DEFLATE+predictor-3 (float32) files bit-exactly."""
+    from PIL import Image
+
+    u8 = (np.arange(40 * 30, dtype=np.uint8) % 251).reshape(40, 30)
+    cases = [
+        ("lzw.tif", u8, {"compression": "tiff_lzw"}),
+        ("pb.tif", u8, {"compression": "packbits"}),
+        ("lzw_p2.tif", u8, {"compression": "tiff_lzw", "tiffinfo": {317: 2}}),
+    ]
+    for name, arr, kw in cases:
+        p = str(tmp_path / name)
+        Image.fromarray(arr).save(p, **kw)
+        back, _ = read_geotiff(p)
+        np.testing.assert_array_equal(back[..., 0], arr)
+
+    u16 = (np.arange(31 * 22, dtype=np.uint32) * 523 % 60001).astype(np.uint16)
+    u16 = u16.reshape(31, 22)
+    p = str(tmp_path / "u16_p2.tif")
+    im = Image.new("I;16", (22, 31))
+    im.frombytes(u16.tobytes())
+    im.save(p, compression="tiff_lzw", tiffinfo={317: 2})
+    back, _ = read_geotiff(p)
+    np.testing.assert_array_equal(back[..., 0], u16)
+
+    f32 = (np.linspace(0.0, 37.5, 25 * 17).reshape(25, 17).astype(np.float32))
+    p = str(tmp_path / "f_p3.tif")
+    Image.fromarray(f32).save(p, compression="tiff_adobe_deflate",
+                              tiffinfo={317: 3})
+    back, _ = read_geotiff(p)
+    np.testing.assert_array_equal(back[..., 0], f32)
+
+
+@pytest.mark.skipif(not _libtiff(), reason="PIL lacks libtiff")
+def test_scene_windowed_reads_lzw(tmp_path):
+    """GeoTiffScene windowed reads decode only the strips a window
+    touches — exercise that path on an LZW+predictor file."""
+    from PIL import Image
+
+    from satellite_computervision_tpu.geo import GeoTiffScene
+
+    arr = (np.arange(120 * 40, dtype=np.uint16) * 7919 % 50021).astype(
+        np.uint16).reshape(120, 40)
+    p = str(tmp_path / "win.tif")
+    im = Image.new("I;16", (40, 120))
+    im.frombytes(arr.tobytes())
+    im.save(p, compression="tiff_lzw", tiffinfo={317: 2, 278: 16})
+    sc = GeoTiffScene(p)
+    assert sc.shape == (120, 40, 1)
+    np.testing.assert_array_equal(sc[13:97, 5:33][..., 0], arr[13:97, 5:33])
+    np.testing.assert_array_equal(np.asarray(sc)[..., 0], arr)
+
+
+def test_undo_predictor_multiband_and_errors(rng):
+    """_undo_predictor inverts hand-forward-transformed chunks: per-band
+    horizontal differencing with modulo wraparound (predictor 2, incl.
+    signed ints) and byte-plane float differencing (predictor 3)."""
+    from satellite_computervision_tpu.geo.geotiff import _undo_predictor
+
+    # predictor 2, 3-band int16 with values that wrap when differenced
+    a = rng.integers(-30000, 30000, (9, 14, 3)).astype(np.int16)
+    u = a.view(np.uint16)
+    diff = u.copy()
+    diff[:, 1:] = (u[:, 1:].astype(np.int64) - u[:, :-1]) % 65536
+    raw = diff.astype(np.uint16).tobytes()
+    out = _undo_predictor(raw, 2, np.dtype(np.int16), 9, 14, 3)
+    np.testing.assert_array_equal(out, a)
+
+    # predictor 3, 2-band float32: byte-plane split + byte differencing
+    f = rng.normal(size=(5, 11, 2)).astype(np.float32)
+    be = f.astype(">f4").view(np.uint8).reshape(5, 11 * 2, 4)
+    planes = be.transpose(0, 2, 1).reshape(5, 4 * 11 * 2).astype(np.int16)
+    d = planes.copy()
+    d[:, 1:] = (planes[:, 1:] - planes[:, :-1]) % 256
+    raw = d.astype(np.uint8).tobytes()
+    out = _undo_predictor(raw, 3, np.dtype(np.float32), 5, 11, 2)
+    np.testing.assert_array_equal(out, f)
+
+    with pytest.raises(ValueError, match="predictor 2"):
+        _undo_predictor(b"\x00" * 16, 2, np.dtype(np.float32), 1, 4, 1)
+    with pytest.raises(ValueError, match="predictor 3"):
+        _undo_predictor(b"\x00" * 4, 3, np.dtype(np.uint8), 1, 4, 1)
+    with pytest.raises(ValueError, match="unsupported TIFF predictor"):
+        _undo_predictor(b"\x00" * 4, 4, np.dtype(np.uint8), 1, 4, 1)
