@@ -64,7 +64,8 @@ _TYPE_ASCII = 2
 _TYPE_DOUBLE = 12
 _TYPE_LONG8 = 16  # BigTIFF 64-bit unsigned
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
 
 # last classic-TIFF offset a chunk may start at (IFD + outline follow)
 _CLASSIC_LIMIT = 0xFFFF0000
@@ -73,15 +74,21 @@ _CLASSIC_LIMIT = 0xFFFF0000
 def _auto_bigtiff(height, width, channels, itemsize, tile_size=None,
                   overviews=False) -> bool:
     """Conservative pre-write estimate of whether a raster needs 64-bit
-    offsets: padded-tile payload (+1/3 for an overview pyramid) vs the
-    classic limit. Compression only shrinks zlib payloads by more than
-    the per-chunk overhead, so an uncompressed-size estimate is safe."""
+    offsets: padded-tile payload (+1/3 for an overview pyramid) PLUS the
+    IFD's out-of-line strip/tile offset+byte-count arrays (8 B per chunk
+    classic — at 4 GiB of 8 KiB strips that is ~4 MiB, enough to push a
+    near-limit file's outline pointers past 2^32) vs the classic limit.
+    Compression only shrinks zlib payloads by more than the per-chunk
+    overhead, so an uncompressed-size estimate is safe."""
     if tile_size:
         h = -(-height // tile_size) * tile_size
         w = -(-width // tile_size) * tile_size
+        n_chunks = (h // tile_size) * (w // tile_size)
     else:
         h, w = height, width
-    est = h * w * channels * itemsize
+        rps = _default_rows_per_strip(width, channels, itemsize)
+        n_chunks = -(-height // rps)
+    est = h * w * channels * itemsize + n_chunks * 16
     if overviews:
         est += est // 3
     return est > _CLASSIC_LIMIT - (1 << 20)
@@ -368,6 +375,35 @@ def write_geotiff(
                  big=bigtiff)
 
 
+def _pool_2x2(level: np.ndarray) -> np.ndarray:
+    """One overview step: 2x2 mean for floats, decimation for ints (the
+    shared rule of write_cog and GeoTiffCogStreamWriter)."""
+    h2 = level.shape[0] // 2 * 2
+    w2 = level.shape[1] // 2 * 2
+    p = level[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, level.shape[2])
+    if np.issubdtype(level.dtype, np.floating):
+        return p.mean(axis=(1, 3)).astype(level.dtype)
+    return p[:, 0, :, 0]
+
+
+def _halve_transform(transform):
+    """The affine of a 2x-decimated overview: overview pixel (x', y') maps
+    to full-res (2x', 2y'), i.e. compose with diag(2, 2) — scale AND
+    shear terms double."""
+    if transform is None:
+        return None
+    a, b, tx, d, e, ty = transform
+    return (a * 2, b * 2, tx, d * 2, e * 2, ty)
+
+
+def _n_overview_levels(height, width, tile_size):
+    n, m = 0, max(height, width)
+    while m > tile_size:
+        m //= 2
+        n += 1
+    return n
+
+
 def write_cog(
     path: str,
     image: np.ndarray,
@@ -392,30 +428,146 @@ def write_cog(
     level = image
     n_levels = overview_levels
     if n_levels is None:
-        n_levels = 0
-        m = max(image.shape[0], image.shape[1])
-        while m > tile_size:
-            m //= 2
-            n_levels += 1
+        n_levels = _n_overview_levels(image.shape[0], image.shape[1],
+                                      tile_size)
     scale = transform
     for _ in range(n_levels):
-        h, w, c = level.shape
-        h2, w2 = h // 2 * 2, w // 2 * 2
-        pooled = level[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, c)
-        if np.issubdtype(level.dtype, np.floating):
-            level = pooled.mean(axis=(1, 3)).astype(level.dtype)
-        else:
-            level = pooled[:, 0, :, 0]
-        if scale is not None:
-            a, b, tx, d, e, ty = scale
-            scale = (a * 2, b, tx, d, e * 2, ty)
+        level = _pool_2x2(level)
+        scale = _halve_transform(scale)
         pages.append((level, scale, crs, nodata, compress, tile_size, 1))
         if min(level.shape[:2]) <= 1:
             break
     _write_pages(path, pages, big=bigtiff)
 
 
-class GeoTiffStreamWriter:
+class _RowStreamBase:
+    """Shared push-API plumbing for the streaming writers: validates row
+    blocks, buffers until one band (``_band_rows`` rows) is full, then
+    hands complete bands to the subclass's ``_flush_band``.
+
+    ``close()`` is failure-safe: any error while flushing/finalizing
+    aborts the writer (file handle closed, header still pointing at 0 —
+    deliberately not a valid TIFF) and re-raises; a retried ``close()``
+    is then a no-op rather than a corrupting resume."""
+
+    def _init_stream(self, path, height, width, channels, dtype,
+                     band_rows, bigtiff):
+        if height <= 0 or width <= 0 or channels <= 0:
+            raise ValueError("height/width/channels must be positive")
+        self._big = bigtiff
+        self.shape = (height, width, channels)
+        self.dtype = dtype
+        self._band_rows = band_rows
+        self._f = open(path, "wb")
+        self._f.write(_header_bytes(bigtiff, 0))  # IFD ptr patched at close
+        self._pos = self._f.tell()
+        self._pending: list = []  # buffered rows short of one band
+        self._pending_rows = 0
+        self._rows_written = 0
+        self._closed = False
+
+    def _coalesce(self) -> np.ndarray:
+        return (np.concatenate(self._pending) if len(self._pending) > 1
+                else self._pending[0])
+
+    def _write_chunk(self, arr: np.ndarray, offsets: list, counts: list):
+        """Compress + append one strip/tile payload, tracking offsets."""
+        chunk = np.ascontiguousarray(arr).tobytes()
+        if self._compress:
+            chunk = zlib.compress(chunk, 6)
+        if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
+            # raise at the first chunk that would overflow, not inside
+            # close()'s struct.pack (the auto estimate is conservative, so
+            # this only fires when bigtiff=False was forced)
+            raise ValueError(
+                "output exceeds the classic-TIFF 4 GiB offset limit; "
+                "pass bigtiff=True or split the output")
+        offsets.append(self._pos)
+        counts.append(len(chunk))
+        self._f.write(chunk)
+        self._pos += len(chunk)
+        if len(chunk) % 2:
+            self._f.write(b"\x00")
+            self._pos += 1
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        """Append the next (rows, W[, C]) block; blocks must arrive in row
+        order and sum to exactly ``height`` by :meth:`close`."""
+        if self._closed:
+            raise ValueError("writer is closed")
+        rows = np.asarray(rows)
+        if rows.ndim == 2:
+            rows = rows[..., None]
+        h, w, c = self.shape
+        if rows.shape[1:] != (w, c):
+            raise ValueError(f"row block shape {rows.shape} != (*, {w}, {c})")
+        if rows.dtype != self.dtype:
+            raise ValueError(f"row block dtype {rows.dtype} != {self.dtype}")
+        if self._rows_written + rows.shape[0] > h:
+            raise ValueError(
+                f"rows overflow: {self._rows_written} + {rows.shape[0]} > {h}")
+        self._rows_written += rows.shape[0]
+        self._pending.append(rows)
+        self._pending_rows += rows.shape[0]
+        while self._pending_rows >= self._band_rows:
+            buf = self._coalesce()
+            self._flush_band(buf[: self._band_rows])
+            rest = buf[self._band_rows:]
+            self._pending = [rest] if rest.shape[0] else []
+            self._pending_rows = rest.shape[0]
+
+    def abort(self) -> None:
+        """Close the file handle WITHOUT finalizing: no IFD is written and
+        the header still points at offset 0, so the file is not a valid
+        TIFF — the honest state after a failed stream."""
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
+    def close(self) -> None:
+        """Flush the final partial band, write the IFD(s), patch the
+        header. On any failure the writer aborts and re-raises."""
+        if self._closed:
+            return
+        if self._rows_written != self.shape[0]:
+            self.abort()
+            raise ValueError(
+                f"wrote {self._rows_written} rows, expected {self.shape[0]}")
+        try:
+            if self._pending_rows:
+                self._flush_band(self._coalesce())
+                self._pending, self._pending_rows = [], 0
+            self._finalize()
+        except BaseException:
+            self.abort()
+            raise
+        self._f.close()
+        self._closed = True
+
+    def _flush_band(self, band: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def _finalize(self) -> None:
+        """Write the IFD chain and patch the header pointer."""
+        raise NotImplementedError
+
+    def _patch_header(self, first_ifd: int) -> None:
+        seek, fmt = _ptr_patch(self._big)
+        self._f.seek(seek)
+        self._f.write(struct.pack(fmt, first_ifd))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
+class GeoTiffStreamWriter(_RowStreamBase):
     """Incremental striped-GeoTIFF writer: rows stream to disk as they are
     produced, so host memory stays O(strip) no matter how tall the scene.
 
@@ -453,8 +605,6 @@ class GeoTiffStreamWriter:
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
             raise ValueError(f"unsupported sample dtype {dtype}")
-        if height <= 0 or width <= 0 or channels <= 0:
-            raise ValueError("height/width/channels must be positive")
         if bigtiff is None:
             # auto: 64-bit offsets when the raster would overflow classic
             # TIFF's 4 GiB — decided up front (strips stream; no second pass)
@@ -466,84 +616,20 @@ class GeoTiffStreamWriter:
             raise ValueError(
                 "uncompressed raster exceeds the classic-TIFF 4 GiB offset "
                 "limit; pass bigtiff=True or split the output")
-        self._big = bigtiff
-        self.shape = (height, width, channels)
-        self.dtype = dtype
         self._geo = (transform, crs, nodata)
         self._compress = compress
         self._rps = rows_per_strip or _default_rows_per_strip(
             width, channels, dtype.itemsize)
-        self._f = open(path, "wb")
-        self._f.write(_header_bytes(bigtiff, 0))  # IFD ptr patched at close
-        self._pos = self._f.tell()
+        self._init_stream(path, height, width, channels, dtype,
+                          self._rps, bigtiff)
         self._offsets: list = []
         self._counts: list = []
-        self._pending: list = []  # buffered rows short of one strip
-        self._pending_rows = 0
-        self._rows_written = 0
-        self._closed = False
 
-    def _flush_strip(self, arr: np.ndarray) -> None:
-        chunk = np.ascontiguousarray(arr).tobytes()
-        if self._compress:
-            chunk = zlib.compress(chunk, 6)
-        if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
-            # raise at the first strip that would overflow, not inside
-            # close()'s struct.pack (the auto estimate is conservative, so
-            # this only fires when bigtiff=False was forced)
-            raise ValueError(
-                "output exceeds the classic-TIFF 4 GiB offset limit; "
-                "pass bigtiff=True or split the output")
-        self._offsets.append(self._pos)
-        self._counts.append(len(chunk))
-        self._f.write(chunk)
-        self._pos += len(chunk)
-        if len(chunk) % 2:
-            self._f.write(b"\x00")
-            self._pos += 1
+    def _flush_band(self, band: np.ndarray) -> None:
+        self._write_chunk(band, self._offsets, self._counts)
 
-    def write_rows(self, rows: np.ndarray) -> None:
-        """Append the next (rows, W[, C]) block; blocks must arrive in row
-        order and sum to exactly ``height`` by :meth:`close`."""
-        if self._closed:
-            raise ValueError("writer is closed")
-        rows = np.asarray(rows)
-        if rows.ndim == 2:
-            rows = rows[..., None]
+    def _finalize(self) -> None:
         h, w, c = self.shape
-        if rows.shape[1:] != (w, c):
-            raise ValueError(f"row block shape {rows.shape} != (*, {w}, {c})")
-        if rows.dtype != self.dtype:
-            raise ValueError(f"row block dtype {rows.dtype} != {self.dtype}")
-        if self._rows_written + rows.shape[0] > h:
-            raise ValueError(
-                f"rows overflow: {self._rows_written} + {rows.shape[0]} > {h}")
-        self._rows_written += rows.shape[0]
-        self._pending.append(rows)
-        self._pending_rows += rows.shape[0]
-        while self._pending_rows >= self._rps:
-            buf = np.concatenate(self._pending) if len(self._pending) > 1 \
-                else self._pending[0]
-            self._flush_strip(buf[: self._rps])
-            rest = buf[self._rps:]
-            self._pending = [rest] if rest.shape[0] else []
-            self._pending_rows = rest.shape[0]
-
-    def close(self) -> None:
-        """Flush the final partial strip, write the IFD, patch the header."""
-        if self._closed:
-            return
-        h, w, c = self.shape
-        if self._rows_written != h:
-            self._f.close()
-            self._closed = True
-            raise ValueError(
-                f"wrote {self._rows_written} rows, expected {h}")
-        if self._pending_rows:
-            self._flush_strip(np.concatenate(self._pending)
-                              if len(self._pending) > 1 else self._pending[0])
-            self._pending = []
-            self._pending_rows = 0
         transform, crs, nodata = self._geo
         b = _IFDBuilder(self._big)
         _base_tags(b, h, w, c, self.dtype, self._compress, transform, crs,
@@ -553,34 +639,13 @@ class GeoTiffStreamWriter:
         b.add(_STRIP_OFFSETS, off_t, self._offsets)
         b.add(_STRIP_BYTE_COUNTS, off_t, self._counts)
         ifd_bytes, outline = b.serialize(self._pos)
+        first_ifd = self._pos
         self._f.write(ifd_bytes)
         self._f.write(outline)
-        seek, fmt = _ptr_patch(self._big)
-        self._f.seek(seek)
-        self._f.write(struct.pack(fmt, self._pos))
-        self._f.close()
-        self._closed = True
-
-    def abort(self) -> None:
-        """Close the file handle WITHOUT finalizing: no IFD is written and
-        the header still points at offset 0, so the file is not a valid
-        TIFF — the honest state after a failed stream."""
-        if not self._closed:
-            self._f.close()
-            self._closed = True
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc, tb):
-        if exc_type is None:
-            self.close()
-        else:
-            self.abort()
-        return False
+        self._patch_header(first_ifd)
 
 
-class GeoTiffCogStreamWriter:
+class GeoTiffCogStreamWriter(_RowStreamBase):
     """Incremental tiled-GeoTIFF writer WITH mean-pooled overview pyramids
     — COG-style output for rasters larger than host RAM.
 
@@ -617,37 +682,24 @@ class GeoTiffCogStreamWriter:
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
             raise ValueError(f"unsupported sample dtype {dtype}")
-        if height <= 0 or width <= 0 or channels <= 0:
-            raise ValueError("height/width/channels must be positive")
         if tile_size % 16:
             raise ValueError("TIFF tile dimensions must be multiples of 16")
         if bigtiff is None:
             bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize,
                                     tile_size=tile_size, overviews=True)
-        self._big = bigtiff
-        self.shape = (height, width, channels)
-        self.dtype = dtype
         self._geo = (transform, crs, nodata)
         self._compress = compress
         self._ts = tile_size
-        n = overview_levels
-        if n is None:
-            n, m = 0, max(height, width)
-            while m > tile_size:
-                m //= 2
-                n += 1
-        self._n_levels = n
-        self._f = open(path, "wb")
-        self._f.write(_header_bytes(bigtiff, 0))
-        self._pos = self._f.tell()
+        if overview_levels is None:
+            overview_levels = _n_overview_levels(height, width, tile_size)
+        self._n_levels = overview_levels
+        self._init_stream(path, height, width, channels, dtype,
+                          tile_size, bigtiff)
         # per-page: dict(h, w, offsets, counts) — filled as pages stream
-        self._pages: list = []
-        self._pending: list = []
-        self._pending_rows = 0
-        self._rows_written = 0
-        self._closed = False
+        self._pages: list = [
+            {"h": height, "w": width, "offsets": [], "counts": []}]
 
-    # -- tile-band plumbing -------------------------------------------------
+    # -- tile-band plumbing ---------------------------------------------
     def _flush_tile_band(self, page, band: np.ndarray) -> None:
         """Write one horizontal band (≤ tile_size rows, full width) of a
         page as zero-padded tiles (the same padding _page_ifd applies)."""
@@ -658,20 +710,10 @@ class GeoTiffCogStreamWriter:
             tile = np.zeros((ts, ts, c), self.dtype)
             sub = band[:, tx : tx + ts]
             tile[:n, : sub.shape[1]] = sub
-            chunk = tile.tobytes()
-            if self._compress:
-                chunk = zlib.compress(chunk, 6)
-            if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
-                raise ValueError(
-                    "output exceeds the classic-TIFF 4 GiB offset limit; "
-                    "pass bigtiff=True or split the output")
-            page["offsets"].append(self._pos)
-            page["counts"].append(len(chunk))
-            self._f.write(chunk)
-            self._pos += len(chunk)
-            if len(chunk) % 2:
-                self._f.write(b"\x00")
-                self._pos += 1
+            self._write_chunk(tile, page["offsets"], page["counts"])
+
+    def _flush_band(self, band: np.ndarray) -> None:
+        self._flush_tile_band(self._pages[0], band)
 
     def _read_band(self, page, y0: int, n: int) -> np.ndarray:
         """Read rows [y0, y0+n) of an already-written page from disk."""
@@ -696,68 +738,12 @@ class GeoTiffCogStreamWriter:
                         ylo - ty : yhi - ty, : xhi - xlo]
         return out
 
-    def _pool(self, band: np.ndarray) -> np.ndarray:
-        """2x2 downsample one band (mean for floats, decimation for ints
-        — exactly write_cog's rule)."""
-        h2 = band.shape[0] // 2 * 2
-        w2 = band.shape[1] // 2 * 2
-        p = band[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, band.shape[2])
-        if np.issubdtype(self.dtype, np.floating):
-            return p.mean(axis=(1, 3)).astype(self.dtype)
-        return p[:, 0, :, 0]
-
-    # -- public API -----------------------------------------------------
-    def write_rows(self, rows: np.ndarray) -> None:
-        if self._closed:
-            raise ValueError("writer is closed")
-        rows = np.asarray(rows)
-        if rows.ndim == 2:
-            rows = rows[..., None]
+    def _finalize(self) -> None:
         h, w, c = self.shape
-        if rows.shape[1:] != (w, c):
-            raise ValueError(f"row block shape {rows.shape} != (*, {w}, {c})")
-        if rows.dtype != self.dtype:
-            raise ValueError(f"row block dtype {rows.dtype} != {self.dtype}")
-        if self._rows_written + rows.shape[0] > h:
-            raise ValueError(
-                f"rows overflow: {self._rows_written} + {rows.shape[0]} > {h}")
-        if not self._pages:
-            self._pages.append({"h": h, "w": w, "offsets": [], "counts": []})
-        self._rows_written += rows.shape[0]
-        self._pending.append(rows)
-        self._pending_rows += rows.shape[0]
-        while self._pending_rows >= self._ts:
-            buf = np.concatenate(self._pending) if len(self._pending) > 1 \
-                else self._pending[0]
-            self._flush_tile_band(self._pages[0], buf[: self._ts])
-            rest = buf[self._ts:]
-            self._pending = [rest] if rest.shape[0] else []
-            self._pending_rows = rest.shape[0]
-
-    def abort(self) -> None:
-        """Close WITHOUT finalizing (no IFDs; not a valid TIFF)."""
-        if not self._closed:
-            self._f.close()
-            self._closed = True
-
-    def close(self) -> None:
-        if self._closed:
-            return
-        h, w, c = self.shape
-        if self._rows_written != h:
-            self.abort()
-            raise ValueError(f"wrote {self._rows_written} rows, expected {h}")
-        if not self._pages:  # h>0 guaranteed, so rows arrived; safety
-            self._pages.append({"h": h, "w": w, "offsets": [], "counts": []})
-        if self._pending_rows:
-            self._flush_tile_band(
-                self._pages[0],
-                np.concatenate(self._pending) if len(self._pending) > 1
-                else self._pending[0])
-            self._pending, self._pending_rows = [], 0
-
         # overview cascade: each level streams off the previous one's
-        # tiles in 2·tile_size-row source bands -> tile_size-row bands
+        # tiles in 2·tile_size-row source bands → one ≤tile_size-row band
+        # per iteration (2·ts source rows pool to exactly ts rows, the
+        # last band to whatever remains)
         for _ in range(self._n_levels):
             src = self._pages[-1]
             lh, lw = src["h"] // 2, src["w"] // 2
@@ -765,18 +751,10 @@ class GeoTiffCogStreamWriter:
                 break
             page = {"h": lh, "w": lw, "offsets": [], "counts": []}
             self._pages.append(page)
-            carry = None
             for y0 in range(0, src["h"] // 2 * 2, 2 * self._ts):
                 n = min(2 * self._ts, src["h"] // 2 * 2 - y0)
-                pooled = self._pool(self._read_band(src, y0, n))
-                if carry is not None:
-                    pooled = np.concatenate([carry, pooled])
-                    carry = None
-                if pooled.shape[0] % self._ts and y0 + n < src["h"] // 2 * 2:
-                    cut = pooled.shape[0] // self._ts * self._ts
-                    pooled, carry = pooled[:cut], pooled[cut:]
-                for b0 in range(0, pooled.shape[0], self._ts):
-                    self._flush_tile_band(page, pooled[b0 : b0 + self._ts])
+                self._flush_tile_band(
+                    page, _pool_2x2(self._read_band(src, y0, n)))
             if min(lh, lw) <= 1:
                 break
 
@@ -795,9 +773,7 @@ class GeoTiffCogStreamWriter:
             b.add(_TILE_OFFSETS, off_t, page["offsets"])
             b.add(_TILE_BYTE_COUNTS, off_t, page["counts"])
             builders.append(b)
-            if tf_level is not None:
-                a, sh, tx, sd, e, ty = tf_level
-                tf_level = (a * 2, sh, tx, sd, e * 2, ty)
+            tf_level = _halve_transform(tf_level)
         sizes = []
         for b in builders:
             ifd, outline = b.serialize(self._pos)  # measure
@@ -810,21 +786,7 @@ class GeoTiffCogStreamWriter:
             self._f.write(ifd)
             self._f.write(outline)
             pos += size
-        seek, fmt = _ptr_patch(self._big)
-        self._f.seek(seek)
-        self._f.write(struct.pack(fmt, first_ifd))
-        self._f.close()
-        self._closed = True
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc, tb):
-        if exc_type is None:
-            self.close()
-        else:
-            self.abort()
-        return False
+        self._patch_header(first_ifd)
 
 
 # ---------------------------------------------------------------------------
@@ -903,12 +865,15 @@ def _undo_predictor(raw: bytes, predictor: int, dtype, rows: int,
     and return the (rows, width, channels) array. Predictor 2 is
     per-sample horizontal differencing (integer, modulo wraparound);
     predictor 3 is the floating-point flavor: rows are stored as
-    byte-planes (MSB plane first) with byte-wise differencing."""
+    byte-planes (MSB plane first) with byte-wise differencing at stride
+    = samples-per-pixel over the flat planar buffer (libtiff
+    tif_predict.c fpAcc — stride is the channel count, so multiband
+    files difference each channel's byte lane independently)."""
     if predictor == 3:
         if dtype.kind != "f":
             raise ValueError("predictor 3 requires floating-point samples")
         it = dtype.itemsize
-        b = np.frombuffer(raw, np.uint8).reshape(rows, it * width * channels)
+        b = np.frombuffer(raw, np.uint8).reshape(rows, it * width, channels)
         b = np.cumsum(b, axis=1, dtype=np.uint8)
         planes = b.reshape(rows, it, width * channels)
         # plane 0 holds each value's most-significant byte → big-endian
@@ -958,9 +923,13 @@ def _parse_page_tags(f, page: int = 0):
     (count,) = struct.unpack(cnt_fmt, f.read(cnt_sz))
     entries = f.read(count * entry_sz)
     tags = {}
+    value_fmts = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B",
+                  6: "<b", 8: "<h", 9: "<i", 16: "<Q", 17: "<q"}
     for i in range(count):
         tag, type_ = struct.unpack_from("<HH", entries, i * entry_sz)
         (n,) = struct.unpack_from(off_fmt, entries, i * entry_sz + 4)
+        if type_ not in _TYPE_SIZES:
+            continue  # unknown tag type — skip, per TIFF 6.0 readers' rule
         size = _TYPE_SIZES[type_] * n
         value_at = i * entry_sz + 4 + off_sz
         if size > inline:
@@ -970,14 +939,22 @@ def _parse_page_tags(f, page: int = 0):
         else:
             payload = entries[value_at : value_at + size]
         if type_ == _TYPE_ASCII:
-            tags[tag] = payload.rstrip(b"\x00").decode("ascii")
-        else:
-            fmt = {3: "<H", 4: "<I", 12: "<d", 11: "<f", 1: "<B",
-                   16: "<Q", 17: "<q"}[type_]
+            tags[tag] = payload.rstrip(b"\x00").decode("ascii", "replace")
+        elif type_ in (5, 10):  # (S)RATIONAL: numerator/denominator pairs
+            sub = "<II" if type_ == 5 else "<ii"
+            tags[tag] = [
+                (lambda num, den: num / den if den else 0.0)(
+                    *struct.unpack_from(sub, payload, j * 8))
+                for j in range(n)
+            ]
+        elif type_ in value_fmts:
+            fmt = value_fmts[type_]
             step = _TYPE_SIZES[type_]
             tags[tag] = [
                 struct.unpack_from(fmt, payload, j * step)[0] for j in range(n)
             ]
+        # types we can size but not interpret (7 UNDEFINED, 18 IFD8...):
+        # sized correctly above, value skipped
     return tags
 
 

@@ -507,10 +507,13 @@ def test_undo_predictor_multiband_and_errors(rng):
     out = _undo_predictor(raw, 2, np.dtype(np.int16), 9, 14, 3)
     np.testing.assert_array_equal(out, a)
 
-    # predictor 3, 2-band float32: byte-plane split + byte differencing
+    # predictor 3, 2-band float32: byte-plane split + byte differencing at
+    # stride = samples-per-pixel (libtiff tif_predict.c fpDiff: cp[stride]
+    # -= cp[0] over the flat planar row, so channel byte lanes difference
+    # independently)
     f = rng.normal(size=(5, 11, 2)).astype(np.float32)
     be = f.astype(">f4").view(np.uint8).reshape(5, 11 * 2, 4)
-    planes = be.transpose(0, 2, 1).reshape(5, 4 * 11 * 2).astype(np.int16)
+    planes = be.transpose(0, 2, 1).reshape(5, 4 * 11, 2).astype(np.int16)
     d = planes.copy()
     d[:, 1:] = (planes[:, 1:] - planes[:, :-1]) % 256
     raw = d.astype(np.uint8).tobytes()
@@ -523,3 +526,96 @@ def test_undo_predictor_multiband_and_errors(rng):
         _undo_predictor(b"\x00" * 4, 3, np.dtype(np.uint8), 1, 4, 1)
     with pytest.raises(ValueError, match="unsupported TIFF predictor"):
         _undo_predictor(b"\x00" * 4, 4, np.dtype(np.uint8), 1, 4, 1)
+
+
+def test_reader_skips_rational_and_undefined_tags(tmp_path):
+    """Real-world producers attach tags the codec never writes (PIL dpi →
+    RATIONAL X/YResolution; JPEGTables-style UNDEFINED payloads). The
+    parser must decode RATIONALs as floats and skip types it cannot
+    interpret instead of crashing (TIFF 6.0 readers' rule)."""
+    from PIL import Image
+
+    from satellite_computervision_tpu.geo import GeoTiffScene
+    from satellite_computervision_tpu.geo.geotiff import _parse_page_tags
+
+    arr = (np.arange(20 * 16, dtype=np.uint8) % 251).reshape(20, 16)
+    p_rat = str(tmp_path / "rational.tif")
+    Image.fromarray(arr).save(p_rat, dpi=(300, 300))
+    p_und = str(tmp_path / "undef.tif")
+    Image.fromarray(arr).save(p_und, tiffinfo={347: b"\x01\x02\x03"})
+    for p in (p_rat, p_und):
+        np.testing.assert_array_equal(np.asarray(GeoTiffScene(p))[..., 0],
+                                      arr)
+    with open(p_rat, "rb") as f:
+        tags = _parse_page_tags(f)
+    assert tags[282] == [300.0]  # XResolution RATIONAL decoded as float
+
+
+def test_auto_bigtiff_counts_chunk_arrays():
+    """The auto heuristic must include the IFD's strip offset/byte-count
+    arrays (~8 B per strip classic): an uncompressed raster whose pixel
+    payload alone fits classic but whose payload + offset arrays does
+    not must select BigTIFF, or close() would die in struct.pack after
+    the whole stream was written."""
+    from satellite_computervision_tpu.geo.geotiff import _auto_bigtiff
+
+    # width 8192 x uint8 → 1-row strips → n_chunks = height; height
+    # 524,000 puts the payload (4,292,608,000 B) under the classic
+    # threshold but payload + 16 B/chunk over it.
+    assert not 524000 * 8192 > 0xFFFF0000 - (1 << 20)  # payload alone fits
+    assert _auto_bigtiff(524000, 8192, 1, 1)
+    # far from the boundary, both directions stay stable
+    assert not _auto_bigtiff(1000, 8192, 1, 1)
+    assert _auto_bigtiff(600000, 8192, 1, 1)
+
+
+def test_cog_overview_transform_doubles_shear(tmp_path, rng):
+    """Overview affines compose the base transform with diag(2, 2):
+    shear terms double along with the scales (level k = base · 2^k for
+    all four linear terms), in both the bulk and streaming COG writers."""
+    from satellite_computervision_tpu.geo import (
+        GeoTiffCogStreamWriter,
+        write_cog,
+    )
+
+    sheared = (10.0, 3.0, 500000.0, 2.0, -10.0, 4500000.0)
+    img = rng.normal(size=(600, 500, 1)).astype(np.float32)
+    p_bulk = str(tmp_path / "bulk.tif")
+    write_cog(p_bulk, img, transform=sheared, crs="EPSG:32617")
+    p_stream = str(tmp_path / "stream.tif")
+    with GeoTiffCogStreamWriter(p_stream, 600, 500, 1, np.float32,
+                                transform=sheared, crs="EPSG:32617") as wr:
+        for y in range(0, 600, 100):
+            wr.write_rows(img[y : y + 100])
+    for p in (p_bulk, p_stream):
+        _, meta0 = read_geotiff(p, page=0)
+        _, meta1 = read_geotiff(p, page=1)
+        assert meta0["transform"] == sheared
+        a, b, tx, d, e, ty = sheared
+        assert meta1["transform"] == (2 * a, 2 * b, tx, 2 * d, 2 * e, ty)
+
+
+def test_stream_writer_close_failure_aborts(tmp_path, rng, monkeypatch):
+    """A failure while finalizing aborts the writer: the handle closes,
+    the header still points at 0 (invalid TIFF — honest), and a retried
+    close() is a no-op instead of resuming a half-built IFD chain."""
+    from satellite_computervision_tpu.geo import (
+        GeoTiffCogStreamWriter,
+        GeoTiffStreamWriter,
+    )
+
+    img = rng.normal(size=(40, 32, 1)).astype(np.float32)
+    for cls in (GeoTiffStreamWriter, GeoTiffCogStreamWriter):
+        p = str(tmp_path / f"{cls.__name__}.tif")
+        wr = cls(p, 40, 32, 1, np.float32)
+        wr.write_rows(img)
+        monkeypatch.setattr(wr, "_finalize",
+                            lambda: (_ for _ in ()).throw(OSError("disk")),
+                            raising=True)
+        with pytest.raises(OSError, match="disk"):
+            wr.close()
+        assert wr._closed and wr._f.closed
+        wr.close()  # no-op, must not raise or write
+        with open(p, "rb") as f:
+            head = f.read(8)
+        assert head[4:8] == b"\x00\x00\x00\x00"  # IFD pointer never patched
