@@ -7,27 +7,37 @@ against the reference's inference pattern — one synchronous batch-1
 geometry (BASELINE.json config #1: solar U-Net, 256x256 kernel + 128
 buffer, 4-band Sentinel-2 scene) on the same device.
 
-Our pipeline is the production configuration: scenes ship to the device as
-raw uint16 DNs (half the H2D bytes of float32), normalization fuses into
-the jitted engine program, and a background thread stages scene N+1 onto
-the device while scene N computes (inference.tiles.predict_scenes). The
-reference pattern ships float32 per-chip with a host round-trip per chip.
+Prints ONE JSON line with the headline MPix/s + vs_baseline plus the
+device-resident fields (see BASELINE.md "Captured-ratio record" for how
+each ratio maps to the >10x target):
+  vs_baseline            wire-level interleaved-pairs ratio (link-bound
+                         at ~5-6x on this relay; README perf notes)
+  ref_syncloop_ms /      the reference loop AS IT RUNS (one host sync per
+  vs_refloop             chip) vs the one-compiled-program engine — the
+                         architecture ratio, 10x-class on any host
+  ref_device_ms /        pure on-chip compute ratio (bounded ~4-5x by
+  vs_baseline_device     overlap redundancy x precision; r4 decision
+                         record, ROADMAP.md)
+  mfu_tuned / train_*    serving + train-step efficiency (donate=True =
+                         the Trainer's real configuration)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": MPix/s (ours, steady multi-scene), "unit":
-   "MPix/s", "vs_baseline": ours / reference-pattern}
-plus device-resident fields (whole/tuned/S2D ms + MFU + MPix/s, train
-step) and the on-chip apples-to-apples ratio the relay link cannot
-pollute: ``vs_baseline_device`` = reference-pattern device time (batch-1
-float32 per-chip forwards over the same scene) / the production fast
-path's device time, with ``vs_baseline_device_tuned`` for the
-reference-identical network under the tuned chip geometry. The wire-bound
-``vs_baseline`` headline is retained for honesty: this relay link
-saturates at ~5-6x regardless of compute (README perf notes).
+ROBUSTNESS CONTRACT (round-5, after BENCH_r04 timed out with zero
+output): the run is time-budgeted (SCV_BENCH_BUDGET seconds, default
+1200) and the JSON line is emitted no matter what — stages fold fields
+into one result dict incrementally; a watchdog thread prints the dict
+and exits just before the budget expires; SIGTERM/SIGINT and normal
+interpreter exit also print it. Stages are ordered so the required
+fields land first; a stage that would not fit the remaining budget is
+skipped and named in the JSON's "skipped" list. All exploratory probes
+live behind flags and never run in the default path.
 """
 
+import atexit
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -43,7 +53,8 @@ N_SCENES = 6  # pipelined sweep length (multi-state workload shape)
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first-run compiles (minutes over
-    the TPU tunnel) amortize across processes."""
+    the TPU tunnel) amortize across processes. The driver's round-end run
+    reuses the entries this round's in-round runs created."""
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -56,6 +67,51 @@ from satellite_computervision_tpu.ops.chips import generate_chip_indices  # noqa
 
 # v5e bf16 peak (197 TFLOP/s) — the MFU denominator for this chip
 PEAK_FLOPS = 197e12
+
+# ---------------------------------------------------------------------------
+# Emit-once plumbing: the driver parses exactly one JSON line; make sure it
+# exists even if a stage hangs in a cold compile or the process is killed.
+# ---------------------------------------------------------------------------
+
+RESULT = {
+    "metric": "tiled-inference scene throughput, solar U-Net 256+128 "
+    "4-band, pipelined uint16 scenes (vs reference batch-1 per-chip "
+    "predict loop, interleaved pairs)",
+    "value": None,
+    "unit": "MPix/s",
+    "vs_baseline": None,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def emit():
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def _install_guards(budget: float):
+    """Watchdog + signal + atexit: one of them always prints the line."""
+
+    def _die(*_a):
+        emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _die)
+        except (ValueError, OSError):
+            pass
+    atexit.register(emit)
+    # emit 15 s before the budget so stdout flushes before any hard kill
+    watchdog = threading.Timer(max(budget - 15.0, 5.0), _die)
+    watchdog.daemon = True
+    watchdog.start()
+    return watchdog
 
 
 def build_model():
@@ -94,7 +150,7 @@ def make_engine(model, variables):
     )
 
 
-def bench_ours(engine, scenes, repeats=3):
+def bench_ours(engine, scenes, repeats=2):
     # compile + warm (np.asarray: this backend's block_until_ready does not
     # reliably wait; a D2H read does)
     np.asarray(engine.predict_scene(jnp.asarray(scenes[0])))
@@ -111,11 +167,10 @@ def bench_ours(engine, scenes, repeats=3):
     return min(times)  # seconds per scene, steady state
 
 
-def bench_reference_pattern(model, variables, scene_u16, max_chips=None):
+def bench_reference_pattern(model, variables, scene_u16):
     """The reference loop: batch-1 forward per chip, float32 host transfer
-    per chip, numpy stitching. All 36 grid chips are timed (an 8-chip
-    subset extrapolated within ~5% of the full measurement, r2; the full
-    loop removes the sampling caveat)."""
+    per chip, numpy stitching (utils/prediction_tools.py:133-156). All 36
+    grid chips are timed."""
     half = BUFFER // 2
     idx = generate_chip_indices(SCENE, SCENE, KERNEL, BUFFER, mode="reference")
     predict1 = jax.jit(
@@ -127,15 +182,13 @@ def bench_reference_pattern(model, variables, scene_u16, max_chips=None):
     np.asarray(predict1(jnp.asarray(chip0)))  # warm
 
     template = np.zeros((SCENE, SCENE), np.float32)
-    n = min(max_chips, len(idx)) if max_chips else len(idx)
     t0 = time.perf_counter()
-    for y, x in idx[:n]:
+    for y, x in idx:
         chip = scene_np[y - half : y + KERNEL + half, x - half : x + KERNEL + half]
         pred = np.asarray(predict1(jnp.asarray(chip)))  # host->dev, dev->host
         template[y : y + KERNEL, x : x + KERNEL] += pred[half : half + KERNEL,
                                                          half : half + KERNEL, 0]
-    per_chip = (time.perf_counter() - t0) / n
-    return per_chip * len(idx)
+    return time.perf_counter() - t0
 
 
 def _timed_scalar(jitted, *args, reps=5):
@@ -168,65 +221,46 @@ def _flops_of(jitted, *args):
         return float("nan")
 
 
-def device_metrics(model, variables, scene_u16):
-    """Device-resident efficiency metrics (the levers that matter off the
-    relay link): whole-scene forward time + MFU, live-BN vs folded-BN,
-    hann blend XLA vs Pallas, and the solar train step + its MFU."""
-    out = {}
-    staged = jax.device_put(jnp.asarray(scene_u16))
+# ---------------------------------------------------------------------------
+# Stages. Each writes its fields into RESULT as soon as they are measured,
+# so a mid-run kill still captures everything completed so far.
+# ---------------------------------------------------------------------------
+
+
+def stage_headline(model, variables, scenes):
+    """value + vs_baseline: wire-level interleaved pairs. The relay link's
+    bandwidth drifts minute-to-minute (identical sweeps have measured
+    2-3x apart; DEVNOTES.md) and both sides are transfer-bound on it, so
+    ours/ref are measured INTERLEAVED in pairs — each pair sees the same
+    link regime — and the ratio is the median of paired ratios."""
+    engine = make_engine(model, variables)
+    pairs = []
+    for _ in range(2):
+        ours_s = bench_ours(engine, scenes, repeats=2)
+        ref_s = bench_reference_pattern(model, variables, scenes[0])
+        pairs.append((ours_s, ref_s))
+        # fold in after EVERY pair: one completed pair already carries the
+        # headline if the budget expires mid-stage
+        mpix = SCENE * SCENE / 1e6
+        ratios = sorted(r / o for o, r in pairs)
+        RESULT["value"] = round(mpix / min(o for o, _ in pairs), 3)
+        RESULT["vs_baseline"] = round(ratios[len(ratios) // 2], 2)
+
+
+def _floor(staged):
+    floor_fn = jax.jit(lambda s: s[0, 0, 0].astype(jnp.float32) * 2)
+    return _timed_scalar(floor_fn, staged)
+
+
+def stage_device_ratios(model, variables, staged, ctx):
+    """The ratios the >10x target resolves through (BASELINE.md addendum):
+    ref_syncloop_ms / vs_refloop (architecture) and ref_device_ms /
+    vs_baseline_device (pure compute), plus the tuned serving geometry."""
+    out = RESULT
     pre = lambda s: s.astype(jnp.float32) / 10000.0
     post = lambda p: (p * 255.0).astype(jnp.uint8)
-
-    floor_fn = jax.jit(lambda s: s[0, 0, 0].astype(jnp.float32) * 2)
-    floor = _timed_scalar(floor_fn, staged)
-
-    live = lambda chips: model.apply(variables, chips)["probs"]
-    folded = build_folded_predict(model, variables)
-
-    for tag, predict in (("", live), ("_fold", folded)):
-        whole = TiledInferenceEngine(
-            predict, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
-            out_channels=1, tile_mode="whole", preprocess_fn=pre,
-            output_transform=post,
-        )
-        impl = whole._build((SCENE, SCENE, BANDS), staged.dtype)
-        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-        t = _sub_floor(_timed_scalar(run, staged), floor)
-        out[f"whole_ms{tag}"] = round(t * 1e3, 1)
-        if tag == "_fold":
-            flops = _flops_of(jax.jit(impl), staged)
-            out["mfu_whole"] = round(flops / t / PEAK_FLOPS, 3)
-
-    # seam-free production config: hann blend, XLA quadrant adds vs the
-    # Pallas stitch-accumulate kernel (one jitted program each)
-    for tag, pallas in (("", False), ("_pallas", True)):
-        hann = TiledInferenceEngine(
-            folded, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
-            out_channels=1, blend="hann", index_mode="grid",
-            preprocess_fn=pre, output_transform=post, pallas_blend=pallas,
-        )
-        impl = hann._build((SCENE, SCENE, BANDS), staged.dtype)
-        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-        out[f"hann_ms{tag}"] = round(
-            _sub_floor(_timed_scalar(run, staged), floor) * 1e3, 1)
-
-    # tuned geometry (r3 probes): XLA's conv efficiency peaks around
-    # batch-16 x ~600^2 chips — kernel 512 + the same 128 buffer covers
-    # 1920^2 with a 4x4 grid at ~2x the k256 grid's throughput, beating
-    # even the single whole-scene pass. Pure engine configuration.
-    tuned = TiledInferenceEngine(
-        folded, kernel=512, buffer=BUFFER, batch_size=16,
-        out_channels=1, blend="hann", index_mode="grid",
-        preprocess_fn=pre, output_transform=post,
-    )
-    impl = tuned._build((SCENE, SCENE, BANDS), staged.dtype)
-    run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
-    t = _sub_floor(_timed_scalar(run, staged), floor)
-    out["hann_tuned_ms"] = round(t * 1e3, 1)
-    flops = _flops_of(jax.jit(impl), staged)
-    out["mfu_tuned"] = round(flops / t / PEAK_FLOPS, 3)
+    floor = ctx["floor"] = _floor(staged)
     mpix = SCENE * SCENE / 1e6
-    out["mpix_device_tuned"] = round(mpix / t, 1)
 
     # S2D production fast path: the space-to-depth solar variant (equal
     # quality — IoU 0.9950 vs 0.9947 plain, runs/solar_convergence_s2d.
@@ -251,31 +285,43 @@ def device_metrics(model, variables, scene_u16):
     t_s2d = _sub_floor(_timed_scalar(run, staged), floor)
     out["s2d_whole_ms"] = round(t_s2d * 1e3, 1)
     out["mpix_s2d"] = round(mpix / t_s2d, 1)
-    flops = _flops_of(jax.jit(impl), staged)
-    out["mfu_s2d"] = round(flops / t_s2d / PEAK_FLOPS, 3)
+    out["mfu_s2d"] = round(_flops_of(jax.jit(impl), staged) / t_s2d / PEAK_FLOPS, 3)
+
+    # tuned geometry (r3 probes): XLA's conv efficiency peaks around
+    # batch-16 x ~600^2 chips — kernel 512 + the same 128 buffer covers
+    # 1920^2 with a 4x4 grid at ~2x the k256 grid's throughput. This is
+    # the reference-weight-compatible fast path (SOLAR_CONFIG serving
+    # geometry).
+    folded = build_folded_predict(model, variables)
+    tuned = TiledInferenceEngine(
+        folded, kernel=512, buffer=BUFFER, batch_size=16,
+        out_channels=1, blend="hann", index_mode="grid",
+        preprocess_fn=pre, output_transform=post,
+    )
+    impl = tuned._build((SCENE, SCENE, BANDS), staged.dtype)
+    run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+    t_tuned = _sub_floor(_timed_scalar(run, staged), floor)
+    out["hann_tuned_ms"] = round(t_tuned * 1e3, 1)
+    out["mfu_tuned"] = round(
+        _flops_of(jax.jit(impl), staged) / t_tuned / PEAK_FLOPS, 3)
+    out["mpix_device_tuned"] = round(mpix / t_tuned, 1)
 
     # Reference-pattern DEVICE time on the same scene: float32 batch-1
     # forwards, one per 384^2 chip (utils/prediction_tools.py:133-156
     # runs Keras float32 model.predict per chip). Measured as ALL chip
     # programs dispatched back-to-back with ONE final sync — the device
     # executes every small program while launch overhead pipelines to
-    # ~zero, and the total (~80 ms) dwarfs the relay's ~27 ms readback
-    # floor's jitter, unlike any few-chip extrapolation (a single 384^2
-    # forward is ~2.3 ms, far under the floor; r4's 6-chip extrapolation
-    # measured anywhere from 37 to 84 ms run-to-run). --probe-ref-device
-    # cross-checks this against a 6-chip unrolled single program (84.2 vs
-    # 81.4 ms, r4). This measurement deliberately EXCLUDES the reference
-    # loop's per-chip synchronous host round trips; those are measured
-    # separately below as ref_syncloop_ms (its numpy stitching forces one
-    # sync per chip — utils/prediction_tools.py:146-153 appends
-    # model.predict results into a host list).
+    # ~zero (cross-checked vs an unrolled single program by
+    # --probe-ref-device: 84.2 vs 81.4 ms, r4). Deliberately EXCLUDES the
+    # reference loop's per-chip synchronous host round trips; those are
+    # ref_syncloop_ms below.
     f32_model = UNet(
         n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
         head="sigmoid", dtype=jnp.float32,
     )
     idx = generate_chip_indices(SCENE, SCENE, KERNEL, BUFFER, mode="reference")
     side, halfb = KERNEL + BUFFER, BUFFER // 2
-    scene_f = (staged.astype(jnp.float32) / 10000.0)
+    scene_f = staged.astype(jnp.float32) / 10000.0
     chips_dev = [
         jax.device_put(
             jax.lax.dynamic_slice(scene_f, (y - halfb, x - halfb, 0),
@@ -292,14 +338,12 @@ def device_metrics(model, variables, scene_u16):
         t_ref = min(t_ref, time.perf_counter() - t0)
     t_ref = _sub_floor(t_ref, floor)
     out["ref_device_ms"] = round(t_ref * 1e3, 1)
-    # device-time ratios: production fast path (S2D whole; equal quality,
-    # runs/solar_convergence_s2d.jsonl) and the reference-identical
-    # network under the tuned chip geometry. These are pure on-chip
-    # compute ratios — the floor of the true advantage, bounded by the
-    # FLOP/precision/redundancy gap alone (~2.25x overlap redundancy x
-    # bf16; see ROADMAP's r4 decision record), NOT a 10x-class number.
+    # device-time ratios: pure on-chip compute — the floor of the true
+    # advantage, bounded by the FLOP/precision/redundancy gap alone
+    # (~2.25x overlap redundancy x bf16; ROADMAP r4 decision record),
+    # NOT a 10x-class number.
     out["vs_baseline_device"] = round(t_ref / t_s2d, 1)
-    out["vs_baseline_device_tuned"] = round(t_ref / t, 1)
+    out["vs_baseline_device_tuned"] = round(t_ref / t_tuned, 1)
 
     # The reference loop AS IT ACTUALLY RUNS: one synchronous host round
     # trip per chip (predict -> numpy append, utils/prediction_tools.py:
@@ -315,46 +359,31 @@ def device_metrics(model, variables, scene_u16):
         t_sync = min(t_sync, time.perf_counter() - t0)
     out["ref_syncloop_ms"] = round(t_sync * 1e3, 1)
     out["vs_refloop"] = round(t_sync / t_s2d, 1)
+    out["vs_refloop_tuned"] = round(t_sync / t_tuned, 1)
 
-    # the solar train step (README config: batch 16, 256^2, 6 bands, bf16)
+
+def stage_train(ctx):
+    """The solar train step (README config: batch 16, 256^2, 6 bands,
+    bf16) + the measured-winner geometries, all with donate=True — the
+    Trainer's actual default (train/trainer.py), unlike r3/r4's
+    donate=False runs."""
     from satellite_computervision_tpu.models.losses import weighted_bce
     from satellite_computervision_tpu.train.trainer import (
         create_train_state,
         make_train_step,
     )
 
+    floor = ctx.get("floor", 0.0)
     rng = np.random.default_rng(1)
-    tmodel = UNet(
-        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
-        head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
-    )
-    x = jnp.asarray(rng.normal(size=(16, 256, 256, 6)).astype(np.float32))
-    y = jnp.asarray((rng.uniform(size=(16, 256, 256, 1)) > 0.8).astype(np.float32))
-    state = create_train_state(tmodel, jax.random.key(0), x)
-    step = make_train_step(
-        lambda t, p: weighted_bce(t, p, pos_weight=2.0, logits=True), donate=False
-    )
-    state, m = step(state, (x, y))
-    np.asarray(m["loss"])  # warm
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        state, m = step(state, (x, y))
-        np.asarray(m["loss"])
-        best = min(best, time.perf_counter() - t0)
-    train_t = best - floor
-    out["train_ms_per_step"] = round(train_t * 1e3, 1)
-    tflops = _flops_of(step, state, (x, y))
-    out["train_mfu"] = round(tflops / train_t / PEAK_FLOPS, 3)
 
     def timed_step(tmodel, x, y):
         state = create_train_state(tmodel, jax.random.key(0), x)
         step = make_train_step(
             lambda t, p: weighted_bce(t, p, pos_weight=2.0, logits=True),
-            donate=False,
+            donate=True,
         )
         state, m = step(state, (x, y))
-        np.asarray(m["loss"])  # warm
+        np.asarray(m["loss"])  # compile + warm
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
@@ -363,82 +392,131 @@ def device_metrics(model, variables, scene_u16):
             best = min(best, time.perf_counter() - t0)
         return _sub_floor(best - floor, 0.0), _flops_of(step, state, (x, y))
 
-    # tuned train geometry (bench.py --probe-traingeo, measured r4):
-    # batch 64 at the SAME 256^2 tile — 17.4% MFU / 25.7 MPix/s vs the
-    # reference config's 12.1% / 17.9 (b16 256^2). Bigger tiles LOSE at
-    # equal batch (b16 512^2 = 14.1%, b4 512^2 = 6.7%): batch is the
-    # XLA conv-tiling lever here, and it applies to TFRecord-fed
-    # training too (no chip re-cut needed), so SOLAR_CONFIG carries
-    # train_batch=64.
-    xt = jnp.asarray(rng.normal(size=(64, 256, 256, 6)).astype(np.float32))
-    yt = jnp.asarray(
-        (rng.uniform(size=(64, 256, 256, 1)) > 0.8).astype(np.float32))
-    t_tuned, fl = timed_step(tmodel, xt, yt)
-    out["train_tuned_ms_per_step"] = round(t_tuned * 1e3, 1)
-    out["train_mfu_tuned"] = round(fl / t_tuned / PEAK_FLOPS, 3)
+    def data(batch, tile, bands=6):
+        x = jnp.asarray(rng.normal(size=(batch, tile, tile, bands)).astype(np.float32))
+        y = jnp.asarray(
+            (rng.uniform(size=(batch, tile, tile, 1)) > 0.8).astype(np.float32))
+        return x, y
 
-    # S2D train step (VERDICT r3 #2-weak): the space-to-depth stem's lane
-    # fix measured on the TRAIN path too — quality at full config is
-    # proven (IoU 0.9950 vs 0.9947 plain, runs/solar_convergence_s2d.jsonl,
-    # ~1.8x faster epochs), so its train MFU belongs in the driver JSON.
-    s2d_tmodel = UNet(
+    plain = UNet(
+        n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
+        head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
+    )
+    s2d = UNet(
         n_classes=1, filters=(32, 64, 128, 256, 512), factors=(2, 2, 2, 2, 2),
         head="sigmoid", dtype=jnp.bfloat16, bn_momentum=0.9,
         space_to_depth=True,
     )
-    t_s2dtr, fl = timed_step(s2d_tmodel, x, y)
-    out["train_s2d_ms_per_step"] = round(t_s2dtr * 1e3, 1)
-    out["train_mfu_s2d"] = round(fl / t_s2dtr / PEAK_FLOPS, 3)
-    # pixels-trained/s: the architecture-neutral train metric (MFU is
-    # relative to each network's OWN FLOPs — S2D folds the shallow
-    # levels so its MFU reads low while its wall-clock is ~1.7x faster)
-    out["train_mpix"] = round(16 * 256 * 256 / train_t / 1e6, 1)
-    out["train_mpix_tuned"] = round(64 * 256 * 256 / t_tuned / 1e6, 1)
-    out["train_mpix_s2d"] = round(16 * 256 * 256 / t_s2dtr / 1e6, 1)
-    return out
+
+    # reference config: batch 16, 256^2 (solar nb cell 17)
+    x, y = data(16, 256)
+    t, fl = timed_step(plain, x, y)
+    RESULT["train_ms_per_step"] = round(t * 1e3, 1)
+    RESULT["train_mfu"] = round(fl / t / PEAK_FLOPS, 3)
+    RESULT["train_mpix"] = round(16 * 256 * 256 / t / 1e6, 1)
+
+    # tuned geometry (bench.py --probe-traingeo, measured r4): batch 64 at
+    # the SAME 256^2 tile — batch is the XLA conv-tiling lever here, and
+    # it applies to TFRecord-fed training too (no chip re-cut), so
+    # SOLAR_CONFIG carries train_batch=64. Quality:
+    # runs/solar_convergence_b64.jsonl (IoU 0.9953).
+    xt, yt = data(64, 256)
+    t, fl = timed_step(plain, xt, yt)
+    RESULT["train_tuned_ms_per_step"] = round(t * 1e3, 1)
+    RESULT["train_mfu_tuned"] = round(fl / t / PEAK_FLOPS, 3)
+    RESULT["train_mpix_tuned"] = round(64 * 256 * 256 / t / 1e6, 1)
+
+    # S2D stem at both batches: the from-scratch preset default (quality:
+    # runs/solar_convergence_s2d.jsonl 0.9950 b16,
+    # runs/solar_convergence_s2d_b64.jsonl 0.9938 b64). MFU is relative to
+    # each network's OWN FLOPs — S2D folds the shallow levels so its MFU
+    # reads low while its wall-clock is faster; train_mpix_* is the
+    # architecture-neutral metric.
+    t, fl = timed_step(s2d, x, y)
+    RESULT["train_s2d_ms_per_step"] = round(t * 1e3, 1)
+    RESULT["train_mfu_s2d"] = round(fl / t / PEAK_FLOPS, 3)
+    RESULT["train_mpix_s2d"] = round(16 * 256 * 256 / t / 1e6, 1)
+
+    t, fl = timed_step(s2d, xt, yt)
+    RESULT["train_s2d_b64_ms_per_step"] = round(t * 1e3, 1)
+    RESULT["train_mpix_s2d_b64"] = round(64 * 256 * 256 / t / 1e6, 1)
+
+
+def stage_extras(model, variables, staged, ctx):
+    """Regression-guard fields: whole-scene live vs folded BN, hann blend
+    XLA vs Pallas. These have been stable since r3 (folding neutral,
+    Pallas at parity; ROADMAP decision records) — measured last."""
+    pre = lambda s: s.astype(jnp.float32) / 10000.0
+    post = lambda p: (p * 255.0).astype(jnp.uint8)
+    floor = ctx.get("floor")
+    if floor is None:
+        floor = ctx["floor"] = _floor(staged)
+
+    live = lambda chips: model.apply(variables, chips)["probs"]
+    folded = build_folded_predict(model, variables)
+    for tag, predict in (("", live), ("_fold", folded)):
+        whole = TiledInferenceEngine(
+            predict, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+            out_channels=1, tile_mode="whole", preprocess_fn=pre,
+            output_transform=post,
+        )
+        impl = whole._build((SCENE, SCENE, BANDS), staged.dtype)
+        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+        t = _sub_floor(_timed_scalar(run, staged), floor)
+        RESULT[f"whole_ms{tag}"] = round(t * 1e3, 1)
+        if tag == "_fold":
+            flops = _flops_of(jax.jit(impl), staged)
+            RESULT["mfu_whole"] = round(flops / t / PEAK_FLOPS, 3)
+
+    # seam-free production config at the k256 grid: hann blend, XLA
+    # quadrant adds vs the Pallas stitch-accumulate kernel
+    for tag, pallas in (("", False), ("_pallas", True)):
+        hann = TiledInferenceEngine(
+            folded, kernel=KERNEL, buffer=BUFFER, batch_size=BATCH,
+            out_channels=1, blend="hann", index_mode="grid",
+            preprocess_fn=pre, output_transform=post, pallas_blend=pallas,
+        )
+        impl = hann._build((SCENE, SCENE, BANDS), staged.dtype)
+        run = jax.jit(lambda s, impl=impl: impl(s).astype(jnp.float32).sum())
+        RESULT[f"hann_ms{tag}"] = round(
+            _sub_floor(_timed_scalar(run, staged), floor) * 1e3, 1)
 
 
 def main():
+    budget = float(os.environ.get("SCV_BENCH_BUDGET", "1200"))
+    deadline = time.monotonic() + budget
+    watchdog = _install_guards(budget)
+
     rng = np.random.default_rng(0)
     scenes = [
         rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
         for _ in range(N_SCENES)
     ]
     model, variables = build_model()
+    staged = jax.device_put(jnp.asarray(scenes[0]))
+    ctx = {}
 
-    # The relay link's bandwidth drifts minute-to-minute (identical sweeps
-    # have measured 2-3x apart; DEVNOTES.md) and both sides are
-    # transfer-bound on it, so ours/ref are measured INTERLEAVED in pairs —
-    # each pair sees the same link regime — and the headline ratio is the
-    # median of paired ratios.
-    engine = make_engine(model, variables)
-    pairs = []
-    for _ in range(3):
-        ours_s = bench_ours(engine, scenes, repeats=2)
-        ref_s = bench_reference_pattern(model, variables, scenes[0])
-        pairs.append((ours_s, ref_s))
-
-    mpix = SCENE * SCENE / 1e6
-    ratios = sorted(r / o for o, r in pairs)
-    ours_best = mpix / min(o for o, _ in pairs)
-
-    # device-resident efficiency fields (MFU, folded-BN, pallas, train):
-    # driver-captured so they can't silently regress between rounds
-    extras = device_metrics(model, variables, scenes[0])
-
-    print(
-        json.dumps(
-            {
-                "metric": "tiled-inference scene throughput, solar U-Net 256+128 "
-                "4-band, pipelined uint16 scenes (vs reference batch-1 per-chip "
-                "predict loop, interleaved pairs)",
-                "value": round(ours_best, 3),
-                "unit": "MPix/s",
-                "vs_baseline": round(ratios[len(ratios) // 2], 2),
-                **extras,
-            }
-        )
-    )
+    # (name, warm-cache estimate seconds, thunk). Ordered by importance:
+    # a stage only starts if its estimate fits the remaining budget, and
+    # every field lands in RESULT the moment it is measured.
+    stages = [
+        ("headline", 150, lambda: stage_headline(model, variables, scenes)),
+        ("device_ratios", 90,
+         lambda: stage_device_ratios(model, variables, staged, ctx)),
+        ("train", 90, lambda: stage_train(ctx)),
+        ("extras", 60, lambda: stage_extras(model, variables, staged, ctx)),
+    ]
+    for name, est, thunk in stages:
+        if deadline - time.monotonic() < est:
+            RESULT.setdefault("skipped", []).append(name)
+            continue
+        try:
+            thunk()
+        except Exception as e:  # a broken stage must not cost the round
+            RESULT.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+    RESULT["bench_seconds"] = round(time.monotonic() - (deadline - budget), 1)
+    watchdog.cancel()
+    emit()
 
 
 def overlap_experiment():
@@ -883,19 +961,28 @@ def probe_ref_device():
 
 
 def device_metrics_only():
-    """--device-metrics: just the device-resident efficiency fields (for
-    controlled reruns; keep the host otherwise idle — 1-core box, any
-    concurrent process skews even scalar-readback timings)."""
+    """--device-metrics: just the device-resident fields (for controlled
+    reruns; keep the host otherwise idle — 1-core box, any concurrent
+    process skews even scalar-readback timings)."""
     rng = np.random.default_rng(0)
     scene = rng.integers(0, 3000, (SCENE, SCENE, BANDS)).astype(np.uint16)
     model, variables = build_model()
-    print(json.dumps(device_metrics(model, variables, scene)))
+    staged = jax.device_put(jnp.asarray(scene))
+    ctx = {}
+    stage_device_ratios(model, variables, staged, ctx)
+    stage_train(ctx)
+    stage_extras(model, variables, staged, ctx)
+    emit()
 
 
 if __name__ == "__main__":
     if "--device-metrics" in sys.argv:
         device_metrics_only()
         sys.exit(0)
+    if "--swath" in sys.argv:
+        from examples.swath_codec_sweep import main as swath_main
+
+        sys.exit(swath_main(sys.argv[sys.argv.index("--swath") + 1:]))
     if "--probe-ref-device" in sys.argv:
         probe_ref_device()
         sys.exit(0)
