@@ -30,16 +30,27 @@ def weighted_categorical_crossentropy(y_true, y_pred, weights, axis: int = -1, r
 
 
 def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
-             ref_compat: bool = False, batch_counts: bool = False):
+             ref_compat: bool = False, batch_counts: bool = True):
     """Generalized dice loss on (B, H, W, C) one-hot labels + probabilities.
 
-    Flattens to (B, H*W, C); class weights are ``1/count^2`` per batch
-    element (non-finite -> eps) or a supplied global list; loss is
+    Flattens to (B, H*W, C); class weights are ``1/count^2`` (non-finite
+    -> eps) or a supplied global list; loss is
     ``mean_b(1 - 2 * sum_c(w*intersect) / sum_c(w*union))`` — reference
     utils/model_tools.py:42-94. (The reference computes its per-batch
     counts with ``reduce_sum(axis=-1)``, which sums over classes and
     degenerates to all-ones weights for one-hot labels — a latent bug; we
     implement the intended per-class pixel counts, axis=pixels.)
+
+    DEFAULT (``batch_counts=True``, round-5 flip): class counts pool over
+    the WHOLE batch (Sudre et al. 2017's formulation,
+    ``w_l = 1/(sum_n r_ln)^2`` with n over all batch pixels). The
+    per-element alternative (``batch_counts=False``) explodes when a class
+    has only a few pixels in one element (count 1 -> weight 1.0 vs ~1e-8
+    for the others, a 1e8 gradient spike) — measured in
+    examples/landcover_convergence.py as a catastrophic epoch-level
+    collapse and a persistently dead mid-frequency class, so the stable
+    pooled form is the default; pass ``batch_counts=False`` only to
+    reproduce the per-element semantics in an A/B.
 
     ``ref_compat=True`` reproduces the shipped code's actual reduction for
     loss-curve A/B against a TF run of the reference: counts are summed
@@ -47,16 +58,6 @@ def gen_dice(y_true, y_pred, eps: float = 1e-6, global_weights=None,
     shipped code runs (the per-pixel weight sum factors out of both
     numerator and denominator, so it equals unweighted dice); for C > 1
     with H*W != C it raises the same broadcast error the TF original does.
-
-    ``batch_counts=True`` pools the class counts over the WHOLE batch
-    (Sudre et al. 2017's formulation, ``w_l = 1/(sum_n r_ln)^2`` with n
-    over all batch pixels) instead of per batch element. Per-element
-    counts explode when a class has only a few pixels in one element
-    (count 1 -> weight 1.0 vs ~1e-8 for the others, a 1e8 gradient
-    spike) — measured in examples/landcover_convergence.py as a
-    catastrophic epoch-level collapse and a persistently dead
-    mid-frequency class. Recommended for multiclass training; off by
-    default to preserve the established per-element semantics.
     """
     y_true = jnp.asarray(y_true, jnp.float32)
     y_pred = jnp.asarray(y_pred, jnp.float32)

@@ -55,6 +55,15 @@ class TrainConfig:
     # bench.py --probe-traingeo measures the MXU-efficient split.
     train_tile: Optional[int] = None
     train_batch: Optional[int] = None
+    # Space-to-depth stem for from-scratch U-Net training (models/unet.py):
+    # folds 2x2 pixels into channels before the trunk, quadrupling MXU lane
+    # occupancy at the shallow full-resolution levels — the measured
+    # lane-bound fix (ROADMAP "Conv layout" probe). Quality verified at the
+    # full config (runs/solar_convergence_s2d.jsonl IoU 0.9950 vs 0.9947
+    # plain; s2d_b64 0.9938). NOT reference-weight-compatible: .h5 import
+    # and --torch-weights paths always build the plain stem regardless of
+    # this flag (train/keras_import.py infers arch from the weights).
+    space_to_depth: bool = False
 
     @property
     def serving_geometry(self) -> Tuple[int, int, int]:
@@ -114,6 +123,12 @@ SOLAR_CONFIG = TrainConfig(
     # too; tile stays the export size. Quality at batch 64 verified in
     # runs/solar_convergence_b64.jsonl.
     train_batch=64,
+    # from-scratch default as of round 5: S2D+b64 is the measured fastest
+    # quality-proven training recipe (runs/solar_convergence_s2d_b64.jsonl
+    # IoU 0.9938 at saturation; bench.py train_mpix_s2d_b64). Flip off via
+    # --no-s2d (scripts/train.py) when the checkpoint must stay
+    # reference-weight-compatible.
+    space_to_depth=True,
 )
 
 # Parking-lot model on NAIP RGB (parking notebook cells 16, 39, 58).

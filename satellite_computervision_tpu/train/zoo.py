@@ -58,6 +58,11 @@ def _build_unet(cfg=None, **kw):
     n = cfg.num_classes if cfg else 1
     kw.setdefault("head", "sigmoid" if n == 1 else "softmax")
     kw.setdefault("threshold", cfg.threshold if cfg else 0.5)
+    # from-scratch presets may carry the measured S2D stem default
+    # (TrainConfig.space_to_depth); explicit kw always wins, and the
+    # weight-import paths never route through cfg (keras_import infers
+    # arch from the .h5 itself)
+    kw.setdefault("space_to_depth", bool(getattr(cfg, "space_to_depth", False)))
     return UNet(n_classes=n, **kw)
 
 

@@ -102,28 +102,57 @@ def load_scene(path, max_rows=None):
     return scene, meta
 
 
-def load_model(cfg, ckpt_dir, bf16=True, arch="unet"):
-    dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if arch in ("unet", "deeplab"):
-        kwargs = dict(
-            n_classes=cfg.num_classes,
-            head="sigmoid" if cfg.num_classes == 1 else "softmax",
-            threshold=cfg.threshold,
-            dtype=dtype,
-        )
-        model = DeepLabV3Plus(**kwargs) if arch == "deeplab" else UNet(**kwargs)
-        example = (jnp.zeros((1, cfg.kernel_size, cfg.kernel_size, len(cfg.bands))),)
-    else:
-        from satellite_computervision_tpu.train.zoo import get_family
+def load_model(cfg, ckpt_dir, bf16=True, arch="unet", space_to_depth=None):
+    """Rebuild the serving model and restore ``<ckpt>/best`` into it.
 
-        family = get_family(arch)
-        model = family.build(cfg, dtype=dtype)
-        example = tuple(jnp.asarray(a) for a in family.example_inputs(cfg))
-    state = create_train_state(
-        model, jax.random.key(0), example[0], tx=optax.adam(1e-3),
-        model_args=example[1:],
-    )
-    state, meta = load_checkpoint(f"{ckpt_dir}/best", state)
+    ``space_to_depth=None`` follows the config default (solar trains the
+    S2D stem from scratch as of round 5); if the checkpoint was trained
+    with the other stem the restore structure mismatches, so the U-Net
+    path auto-retries once with the stem flipped — old plain-stem solar
+    checkpoints keep serving after the default flip, and explicit
+    ``--s2d/--no-s2d`` still wins."""
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    explicit = space_to_depth is not None
+    if space_to_depth is None:
+        space_to_depth = bool(getattr(cfg, "space_to_depth", False))
+
+    def build(s2d):
+        if arch in ("unet", "deeplab"):
+            kwargs = dict(
+                n_classes=cfg.num_classes,
+                head="sigmoid" if cfg.num_classes == 1 else "softmax",
+                threshold=cfg.threshold,
+                dtype=dtype,
+            )
+            if arch == "deeplab":
+                model = DeepLabV3Plus(**kwargs)
+            else:
+                model = UNet(space_to_depth=s2d, **kwargs)
+            example = (jnp.zeros((1, cfg.kernel_size, cfg.kernel_size,
+                                  len(cfg.bands))),)
+        else:
+            from satellite_computervision_tpu.train.zoo import get_family
+
+            family = get_family(arch)
+            model = family.build(cfg, dtype=dtype)
+            example = tuple(jnp.asarray(a) for a in family.example_inputs(cfg))
+        state = create_train_state(
+            model, jax.random.key(0), example[0], tx=optax.adam(1e-3),
+            model_args=example[1:],
+        )
+        return model, state
+
+    model, state = build(space_to_depth)
+    try:
+        state, meta = load_checkpoint(f"{ckpt_dir}/best", state)
+    except (ValueError, KeyError):
+        if explicit or arch != "unet":
+            raise
+        flipped = not space_to_depth
+        model, state = build(flipped)
+        state, meta = load_checkpoint(f"{ckpt_dir}/best", state)
+        print(f"note: checkpoint stem differs from the config default — "
+              f"serving space_to_depth={flipped}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     print(f"restored checkpoint (meta: {json.dumps(meta)})")
     return model, variables
@@ -201,11 +230,19 @@ def main(argv=None):
                     help="serve the BN-folded program (UNet; numerically "
                     "identical to eval-mode BN, no BN ops in the compiled "
                     "program)")
+    ap.add_argument("--s2d", action=argparse.BooleanOptionalAction, default=None,
+                    help="unet: the checkpoint's stem (default: the config's "
+                    "space_to_depth, auto-retrying the other stem on a "
+                    "restore mismatch)")
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
     arch = args.model or ("siamese" if cfg.family == "siamese" else "unet")
-    model, variables = load_model(cfg, args.ckpt, arch=arch)
+    model, variables = load_model(cfg, args.ckpt, arch=arch,
+                                  space_to_depth=args.s2d)
+    # S2D halves the grid before the trunk: whole-scene padding must cover
+    # one more factor of 2 (models/unet.py stem)
+    whole_mult = 64 if getattr(model, "space_to_depth", False) else 32
     if args.fold_bn:
         if arch != "unet":
             sys.exit("--fold-bn currently supports the unet family only")
@@ -267,7 +304,7 @@ def main(argv=None):
                 predict, scene.shape, scene.dtype,
                 out_channels=cfg.num_classes, blend=args.blend,
                 batch_size=args.batch_size or cfg.serving_geometry[2],
-                output_transform=out_transform,
+                output_transform=out_transform, chip_multiple=whole_mult,
                 scene=scene, max_rows=args.max_rows, verbose=print,
             )
             table = os.path.join(args.ckpt, "tune.json")
@@ -286,6 +323,7 @@ def main(argv=None):
                 batch_size=batch, out_channels=cfg.num_classes,
                 blend=args.blend, tile_mode=tile_mode, max_rows=args.max_rows,
                 nodata=nodata, output_transform=out_transform,
+                whole_multiple=whole_mult,
             )
         out = args.output or "prediction.tif"
         out_tf = (tuple(args.transform) if args.transform
@@ -376,6 +414,7 @@ def main(argv=None):
             tile_mode=tile_mode, max_rows=args.max_rows, nodata=nodata,
             output_transform=(lambda p: (p * 255.0).astype(jnp.uint8))
             if args.uint8 else None,
+            whole_multiple=whole_mult,
         )
         t0 = time.monotonic()
         mpix = 0.0

@@ -137,6 +137,10 @@ def main(argv=None):
                     "(half the H2D bytes; preprocess casts back to f32 on "
                     "device)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--s2d", action=argparse.BooleanOptionalAction, default=None,
+                    help="unet: space-to-depth stem (default: the config's "
+                    "space_to_depth; solar trains S2D from scratch — use "
+                    "--no-s2d for reference-weight-compatible checkpoints)")
     ap.add_argument("--bn-momentum", type=float, default=0.9,
                     help="BatchNorm running-stat momentum; the Keras-parity "
                     "0.99 needs thousands of steps before eval stabilizes")
@@ -166,7 +170,12 @@ def main(argv=None):
     kw = {"dtype": dtype}
     if args.model == "unet":
         kw.update(remat=args.remat, bn_momentum=args.bn_momentum)
+        if args.s2d is not None:
+            kw.update(space_to_depth=args.s2d)
     model = family.build(cfg, **kw)
+    if getattr(model, "space_to_depth", False):
+        print("space-to-depth stem ON (config default; --no-s2d for "
+              "reference-weight-compatible checkpoints)")
     loss_fn, pred_key = family.loss(cfg)
 
     example = tuple(jnp.asarray(a) for a in family.example_inputs(cfg))

@@ -484,6 +484,63 @@ def test_resolve_serving_geometry_precedence(tmp_path):
     assert tm == "whole" and src == "preset"
 
 
+def test_load_model_stem_auto_retry(tmp_path, monkeypatch):
+    """Round-5 default flip: solar trains the S2D stem from scratch, but a
+    checkpoint trained with the OTHER stem must still serve — load_model
+    retries the restore with the stem flipped on a structure mismatch, and
+    an explicit --s2d/--no-s2d choice raises instead of silently flipping."""
+    import dataclasses
+
+    import optax
+    import predict as predict_cli
+
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_computervision_tpu.models import UNet
+    from satellite_computervision_tpu.train import (
+        create_train_state,
+        save_checkpoint,
+    )
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+
+    small = dataclasses.replace(SOLAR_CONFIG, kernel_size=64, kernel_buffer=32)
+    assert small.space_to_depth  # the preset default this test guards
+
+    def small_unet(**kw):
+        kw.setdefault("filters", (4, 8))
+        kw.setdefault("factors", (2, 2))
+        return UNet(**kw)
+
+    monkeypatch.setattr(predict_cli, "UNet", small_unet)
+
+    # a pre-flip checkpoint: plain stem under the solar config
+    plain = small_unet(n_classes=1, head="sigmoid", space_to_depth=False)
+    state = create_train_state(
+        plain, jax.random.key(0), jnp.zeros((1, 64, 64, 6)),
+        tx=optax.adam(1e-3))
+    save_checkpoint(str(tmp_path / "best"), state, metrics={"mean_iou": 0.9})
+
+    model, variables = predict_cli.load_model(small, str(tmp_path))
+    assert model.space_to_depth is False  # auto-flipped to match the ckpt
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 6)))
+    assert out["probs"].shape == (1, 64, 64, 1)
+
+    # explicit stem choice must NOT silently flip
+    with pytest.raises((ValueError, KeyError)):
+        predict_cli.load_model(small, str(tmp_path), space_to_depth=True)
+
+    # and an S2D checkpoint restores under the config default directly
+    s2d = small_unet(n_classes=1, head="sigmoid", space_to_depth=True)
+    state2 = create_train_state(
+        s2d, jax.random.key(0), jnp.zeros((1, 64, 64, 6)),
+        tx=optax.adam(1e-3))
+    save_checkpoint(str(tmp_path / "s2d" / "best"), state2,
+                    metrics={"mean_iou": 0.9})
+    model2, _ = predict_cli.load_model(small, str(tmp_path / "s2d"))
+    assert model2.space_to_depth is True
+
+
 def test_evaluate_h5_published_weights_workflow(tmp_path, monkeypatch, rng):
     """The one-command published-weights check: reference .h5 -> inferred
     arch -> imported weights -> folded BN -> chip confusion report

@@ -106,9 +106,26 @@ def test_gen_dice_batch_counts_pools_over_batch():
     onehot = np.eye(2, dtype=np.float32)[labels]
     miss = onehot.copy()
     miss[0, 0, 0] = [1.0, 0.0]
-    per_element = float(losses.gen_dice(onehot, miss))
+    per_element = float(losses.gen_dice(onehot, miss, batch_counts=False))
     pooled = float(losses.gen_dice(onehot, miss, batch_counts=True))
     assert per_element > 10 * pooled
+
+
+def test_gen_dice_default_is_batch_pooled():
+    """Round-5 default flip: gen_dice() with no flags IS the stable
+    whole-batch Sudre pooling (the per-element 1/count^2 form measured to
+    collapse training is opt-in via batch_counts=False)."""
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 3, (4, 8, 8))
+    labels[0] = 0
+    labels[0, 0, 0] = 1  # a 1-pixel class in element 0
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    pred = rng.dirichlet(np.ones(3), size=(4, 8, 8)).astype(np.float32)
+    default = float(losses.gen_dice(onehot, pred))
+    pooled = float(losses.gen_dice(onehot, pred, batch_counts=True))
+    per_element = float(losses.gen_dice(onehot, pred, batch_counts=False))
+    assert default == pytest.approx(pooled, rel=1e-6)
+    assert default != pytest.approx(per_element, rel=1e-3)
 
 
 def test_gen_dice_perfect_prediction_batch_counts():
