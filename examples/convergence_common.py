@@ -34,6 +34,37 @@ def smooth_field(rng, k: int, scale: int = 16) -> np.ndarray:
     return a + b
 
 
+# ---------------------------------------------------------------------------
+# Shared landcover class signatures for the multi-head harnesses
+# (hierarchical_convergence.py and hybrid_convergence.py build chips from the
+# same palette so their evidence is comparable; importing them from either
+# harness would execute that harness's import-time side effects).
+# ---------------------------------------------------------------------------
+
+PERIOD = 12.0  # seasonal period in observation steps
+
+CLASSES = ["water", "tree", "grass", "crop", "impervious", "wetland"]
+NCLASS = len(CLASSES)
+SUBCLASSES = ["wet", "vegetation", "built"]
+NSUB = len(SUBCLASSES)
+# main -> coarse super-class (the hierarchical mid-depth head's target)
+SUB_OF = np.array([0, 1, 1, 1, 2, 0], np.int32)
+
+# per-class (R, G, B, N) reflectance means; grass (2) and crop (3) are
+# IDENTICAL on purpose — only the timeseries separates them
+SIGS = np.array([
+    [0.10, 0.14, 0.20, 0.06],   # water
+    [0.14, 0.24, 0.13, 0.58],   # tree
+    [0.38, 0.48, 0.26, 0.58],   # grass
+    [0.38, 0.48, 0.26, 0.58],   # crop (== grass in a single date)
+    [0.56, 0.56, 0.56, 0.30],   # impervious
+    [0.17, 0.26, 0.20, 0.42],   # wetland
+], np.float32)
+# seasonal NDVI-like amplitude per class: crop swings hard, grass a
+# little, the rest are near-static
+AMPS = np.array([0.00, 0.05, 0.08, 0.40, 0.00, 0.12], np.float32)
+
+
 def chip_batches(make_chip, split, n, batch, rng, shuffle=True, prefetch=2):
     """Prefetched (x, y) device batches from a (split, index) chip fn."""
     from satellite_computervision_tpu.data.pipeline import prefetch_to_device

@@ -49,16 +49,14 @@ import optax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from convergence_common import (  # noqa: E402
-    multiclass_metrics,
-    smooth_field,
-    stable_seed,
-)
-from hierarchical_convergence import (  # noqa: E402
     AMPS,
     CLASSES,
     NCLASS,
     PERIOD,
     SIGS,
+    multiclass_metrics,
+    smooth_field,
+    stable_seed,
 )
 from satellite_computervision_tpu.models import HybridUNetLSTM, losses  # noqa: E402
 from satellite_computervision_tpu.models import metrics as metrics_lib  # noqa: E402
@@ -149,51 +147,52 @@ def main(argv=None):
         return loss_fn(y, out["probs"]), cm
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    log = open(args.out, "a")
-    print(f"hybrid convergence: {args.train_size} chips x {args.epochs} "
-          f"epochs, batch {args.batch_size}, {NCLASS} classes")
+    with open(args.out, "a") as log:
+        print(f"hybrid convergence: {args.train_size} chips x {args.epochs} "
+              f"epochs, batch {args.batch_size}, {NCLASS} classes")
 
-    rng = np.random.default_rng(args.seed)
-    key = jax.random.key(args.seed + 1)
-    best = None
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        tloss, steps = None, 0
-        for x, y in batches("train", args.train_size, args.batch_size, rng):
-            key, sub = jax.random.split(key)
-            state, out = train_step(state, (x, y), sub)
-            tloss = out["loss"] if tloss is None else tloss + out["loss"]
-            steps += 1
+        rng = np.random.default_rng(args.seed)
+        key = jax.random.key(args.seed + 1)
+        best, best_miou = None, float("-inf")
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            tloss, steps = None, 0
+            for x, y in batches("train", args.train_size, args.batch_size, rng):
+                key, sub = jax.random.split(key)
+                state, out = train_step(state, (x, y), sub)
+                tloss = out["loss"] if tloss is None else tloss + out["loss"]
+                steps += 1
 
-        cm = np.zeros((NCLASS, NCLASS), np.float64)
-        eloss, esteps = None, 0
-        for x, y in batches("eval", args.eval_size, args.batch_size, rng,
-                            shuffle=False):
-            loss, bcm = eval_batch(state, x, y)
-            cm += np.asarray(bcm, np.float64)
-            eloss = loss if eloss is None else eloss + loss
-            esteps += 1
+            cm = np.zeros((NCLASS, NCLASS), np.float64)
+            eloss, esteps = None, 0
+            for x, y in batches("eval", args.eval_size, args.batch_size, rng,
+                                shuffle=False):
+                loss, bcm = eval_batch(state, x, y)
+                cm += np.asarray(bcm, np.float64)
+                eloss = loss if eloss is None else eloss + loss
+                esteps += 1
 
-        m = multiclass_metrics(cm, CLASSES)
-        rec = {
-            "epoch": epoch,
-            "train_loss": float(tloss) / max(steps, 1),
-            "eval_loss": float(eloss) / max(esteps, 1),
-            **{k: round(float(v), 4) for k, v in m.items()},
-            "secs": round(time.time() - t0, 1),
-        }
-        if best is None or m["iou"] >= best["mean_iou"]:
-            best = {"epoch": epoch,
-                    **{k: round(float(v), 4) for k, v in m.items()
-                       if k != "iou"}}
-        print(json.dumps(rec))
-        log.write(json.dumps(rec) + "\n")
-        log.flush()
+            m = multiclass_metrics(cm, CLASSES)
+            rec = {
+                "epoch": epoch,
+                "train_loss": float(tloss) / max(steps, 1),
+                "eval_loss": float(eloss) / max(esteps, 1),
+                **{k: round(float(v), 4) for k, v in m.items()},
+                "secs": round(time.time() - t0, 1),
+            }
+            # unrounded monitor, tracked apart from the rounded record
+            if m["mean_iou"] >= best_miou:
+                best_miou = float(m["mean_iou"])
+                best = {"epoch": epoch,
+                        **{k: round(float(v), 4) for k, v in m.items()
+                           if k != "iou"}}
+            print(json.dumps(rec))
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
 
-    summary = {"final": best, "config": vars(args)}
-    print("SUMMARY " + json.dumps(summary))
-    log.write(json.dumps(summary) + "\n")
-    log.close()
+        summary = {"final": best, "config": vars(args)}
+        print("SUMMARY " + json.dumps(summary))
+        log.write(json.dumps(summary) + "\n")
 
 
 if __name__ == "__main__":

@@ -156,51 +156,50 @@ def main(argv=None):
         )
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    log = open(args.out, "a")
-    print(f"lstm-ae convergence: {args.train_size} series x {args.epochs} "
-          f"epochs, batch {args.batch_size}, T_in={T_IN}")
+    with open(args.out, "a") as log:
+        print(f"lstm-ae convergence: {args.train_size} series x {args.epochs} "
+              f"epochs, batch {args.batch_size}, T_in={T_IN}")
 
-    rng = np.random.default_rng(args.seed)
-    key = jax.random.key(args.seed + 1)
-    best = None
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        tloss, steps = None, 0
-        for x, y in batches("train", args.train_size, args.batch_size, rng):
-            key, sub = jax.random.split(key)
-            state, out = train_step(state, (x, y), sub)
-            tloss = out["loss"] if tloss is None else tloss + out["loss"]
-            steps += 1
+        rng = np.random.default_rng(args.seed)
+        key = jax.random.key(args.seed + 1)
+        best = None
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            tloss, steps = None, 0
+            for x, y in batches("train", args.train_size, args.batch_size, rng):
+                key, sub = jax.random.split(key)
+                state, out = train_step(state, (x, y), sub)
+                tloss = out["loss"] if tloss is None else tloss + out["loss"]
+                steps += 1
 
-        sums, esteps = None, 0
-        for x, y in batches("eval", args.eval_size, args.batch_size, rng,
-                            shuffle=False):
-            vals = eval_batch(state, x, y)
-            sums = vals if sums is None else tuple(a + b for a, b in zip(sums, vals))
-            esteps += 1
-        single_mse, temporal_mse, pers_mse = (float(v) / max(esteps, 1) for v in sums)
-        skill = 1.0 - single_mse / max(pers_mse, 1e-12)
-        rec = {
-            "epoch": epoch,
-            "train_loss": float(tloss) / max(steps, 1),
-            "forecast_mse": round(single_mse, 6),
-            "reconstruction_mse": round(temporal_mse, 6),
-            "persistence_mse": round(pers_mse, 6),
-            "skill_vs_persistence": round(skill, 4),
-            "secs": round(time.time() - t0, 1),
-        }
-        if best is None or skill >= best["skill_vs_persistence"]:
-            best = {k: rec[k] for k in
-                    ("epoch", "forecast_mse", "reconstruction_mse",
-                     "persistence_mse", "skill_vs_persistence")}
-        print(json.dumps(rec))
-        log.write(json.dumps(rec) + "\n")
-        log.flush()
+            sums, esteps = None, 0
+            for x, y in batches("eval", args.eval_size, args.batch_size, rng,
+                                shuffle=False):
+                vals = eval_batch(state, x, y)
+                sums = vals if sums is None else tuple(a + b for a, b in zip(sums, vals))
+                esteps += 1
+            single_mse, temporal_mse, pers_mse = (float(v) / max(esteps, 1) for v in sums)
+            skill = 1.0 - single_mse / max(pers_mse, 1e-12)
+            rec = {
+                "epoch": epoch,
+                "train_loss": float(tloss) / max(steps, 1),
+                "forecast_mse": round(single_mse, 6),
+                "reconstruction_mse": round(temporal_mse, 6),
+                "persistence_mse": round(pers_mse, 6),
+                "skill_vs_persistence": round(skill, 4),
+                "secs": round(time.time() - t0, 1),
+            }
+            if best is None or skill >= best["skill_vs_persistence"]:
+                best = {k: rec[k] for k in
+                        ("epoch", "forecast_mse", "reconstruction_mse",
+                         "persistence_mse", "skill_vs_persistence")}
+            print(json.dumps(rec))
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
 
-    summary = {"final": best, "config": vars(args)}
-    print("SUMMARY " + json.dumps(summary))
-    log.write(json.dumps(summary) + "\n")
-    log.close()
+        summary = {"final": best, "config": vars(args)}
+        print("SUMMARY " + json.dumps(summary))
+        log.write(json.dumps(summary) + "\n")
 
 
 if __name__ == "__main__":
