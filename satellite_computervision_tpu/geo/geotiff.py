@@ -10,19 +10,21 @@ TIFF 6.0 + GeoTIFF 1.1 specs:
   43, 64-bit offsets — when the raster would overflow classic TIFF's
   4 GiB offsets, or on request via ``bigtiff=True``),
 - float32/float64/uint8/uint16/int16/int32 samples, pixel-interleaved,
-- optional DEFLATE (zlib) compression,
+- DEFLATE (zlib) and LZW (compression 5, early-change variant, GDAL's
+  common COG recipe) compression with TIFF predictor 2 (integer
+  horizontal differencing) / predictor 3 (floating-point byte-plane
+  differencing) on write — the LZW hot loops run in the native module
+  (native/fastrecord.cc) with a bit-identical pure-Python fallback,
 - georeferencing via ModelPixelScale + ModelTiepoint (or a full
   ModelTransformation when the affine has shear), GeoKey directory with
   EPSG projected/geographic CRS codes, GDAL_NODATA,
 - COG writer: 256x256 tiles + power-of-two mean-pooled overview IFDs.
 
-The reader parses the same subset back, plus the encodings GDAL/rasterio
-commonly emit that we never write: LZW (compression 5, early-change
-variant) and PackBits (32773) chunks, and predictor 2 (integer
-horizontal differencing) / predictor 3 (floating-point byte-plane
-differencing) — so real-world COG assets (NAIP / Sentinel-2 on the
-Planetary Computer, the reference's inputs via rasterio) decode here
-without GDAL.
+The reader parses the same subset back, plus PackBits (32773) chunks —
+so real-world COG assets (NAIP / Sentinel-2 on the Planetary Computer,
+the reference's inputs via rasterio) decode here without GDAL, and
+files written here with 'lzw'+predictor read back through the very same
+decode table.
 """
 
 from __future__ import annotations
@@ -209,8 +211,10 @@ class _IFDBuilder:
 
 
 def _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata,
-               subfile_type=None):
-    """Add the geometry/sample/geo tags shared by every page layout."""
+               subfile_type=None, predictor: int = 1):
+    """Add the geometry/sample/geo tags shared by every page layout.
+    ``compress`` is a normalized TIFF compression code (or a bool for the
+    legacy callers)."""
     bits = dtype.itemsize * 8
     sample_format = _SAMPLE_FORMATS[dtype]
     if subfile_type is not None:
@@ -218,11 +222,14 @@ def _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata,
     b.add(_IMAGE_WIDTH, _TYPE_LONG, w)
     b.add(_IMAGE_LENGTH, _TYPE_LONG, h)
     b.add(_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * c)
-    b.add(_COMPRESSION, _TYPE_SHORT, 8 if compress else 1)
+    b.add(_COMPRESSION, _TYPE_SHORT, _norm_compress(compress)
+          if isinstance(compress, (bool, str, type(None))) else compress)
     b.add(_PHOTOMETRIC, _TYPE_SHORT, 1)
     b.add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, c)
     b.add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
     b.add(_SAMPLE_FORMAT, _TYPE_SHORT, [sample_format] * c)
+    if predictor != 1:
+        b.add(_PREDICTOR, _TYPE_SHORT, predictor)
     if transform is not None:
         a, bshear, tx, dshear, e, ty = transform
         if bshear == 0 and dshear == 0:
@@ -254,14 +261,16 @@ def _page_ifd(
     transform: Optional[Sequence[float]],
     crs: str,
     nodata,
-    compress: bool,
+    compress,
     tile_size: Optional[int],
     subfile_type: Optional[int] = None,
     big: bool = False,
+    predictor: int = 1,
 ):
     """Build one TIFF page (IFD + pixel data) for an (H, W, C) array."""
     h, w, c = image.shape
     dtype = image.dtype
+    comp_code = _norm_compress(compress)
 
     chunks = []
     if tile_size:
@@ -271,14 +280,12 @@ def _page_ifd(
                 tile = np.zeros((ts, ts, c), dtype)
                 sub = image[ty : ty + ts, tx : tx + ts]
                 tile[: sub.shape[0], : sub.shape[1]] = sub
-                chunks.append(tile.tobytes())
+                chunks.append(_encode_chunk(tile, comp_code, predictor))
     else:
         rows_per_strip = _default_rows_per_strip(w, c, dtype.itemsize)
         for y in range(0, h, rows_per_strip):
-            chunks.append(image[y : y + rows_per_strip].tobytes())
-
-    if compress:
-        chunks = [zlib.compress(chunk, 6) for chunk in chunks]
+            chunks.append(_encode_chunk(image[y : y + rows_per_strip],
+                                        comp_code, predictor))
 
     offsets, counts = [], []
     pos = data_offset
@@ -288,7 +295,8 @@ def _page_ifd(
         pos += len(chunk) + (len(chunk) % 2)
 
     b = _IFDBuilder(big)
-    _base_tags(b, h, w, c, dtype, compress, transform, crs, nodata, subfile_type)
+    _base_tags(b, h, w, c, dtype, comp_code, transform, crs, nodata,
+               subfile_type, predictor=predictor)
     off_t = _off_type(big)
     if tile_size:
         b.add(_TILE_WIDTH, _TYPE_LONG, tile_size)
@@ -303,7 +311,7 @@ def _page_ifd(
     return b, chunks, offsets, counts
 
 
-def _write_pages(path, pages, big: bool = False):
+def _write_pages(path, pages, big: bool = False, predictor: int = 1):
     """pages: list of (image, transform, crs, nodata, compress, tile_size,
     subfile_type)."""
     with open(path, "wb") as f:
@@ -315,13 +323,13 @@ def _write_pages(path, pages, big: bool = False):
             # Two-pass per page: measure IFD size, then emit IFD + data.
             probe, _, _, _ = _page_ifd(
                 image, 0, pos, transform, crs, nodata, compress, tile_size,
-                subfile, big
+                subfile, big, predictor
             )
             probe_bytes, probe_outline = probe.serialize(pos)
             data_offset = pos + len(probe_bytes) + len(probe_outline)
             builder, chunks, offsets, _ = _page_ifd(
                 image, data_offset, pos, transform, crs, nodata, compress,
-                tile_size, subfile, big
+                tile_size, subfile, big, predictor
             )
             data_size = (offsets[-1] + len(chunks[-1]) + (len(chunks[-1]) % 2)) - data_offset
             next_ifd = 0 if i == len(pages) - 1 else data_offset + data_size
@@ -334,6 +342,93 @@ def _write_pages(path, pages, big: bool = False):
                 if len(chunk) % 2:
                     f.write(b"\x00")
             pos = next_ifd
+
+
+# ---------------------------------------------------------------------------
+# Chunk encode/decode: compression codes 1 (none) / 5 (LZW) / 8 (DEFLATE)
+# with TIFF predictors 1/2/3 — shared by the one-shot writers, the
+# streaming writers and the windowed reader, so every write is readable
+# back through the same table.
+# ---------------------------------------------------------------------------
+
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
+_COMPRESS_NAMES = {
+    None: _COMP_NONE, False: _COMP_NONE, "none": _COMP_NONE,
+    True: _COMP_DEFLATE, "deflate": _COMP_DEFLATE, "zlib": _COMP_DEFLATE,
+    "lzw": _COMP_LZW,
+}
+
+
+def _norm_compress(compress) -> int:
+    """Normalize the writers' ``compress`` argument (bool for
+    back-compat, or 'none'/'deflate'/'lzw') to the TIFF compression code."""
+    key = compress.lower() if isinstance(compress, str) else compress
+    if key not in _COMPRESS_NAMES:
+        raise ValueError(
+            f"unsupported compression {compress!r}; use False/'none', "
+            "True/'deflate', or 'lzw'")
+    return _COMPRESS_NAMES[key]
+
+
+def _check_predictor(predictor: int, dtype) -> int:
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    dtype = np.dtype(dtype)
+    if predictor == 2 and dtype.kind not in "ui":
+        raise ValueError("predictor 2 requires integer samples")
+    if predictor == 3 and dtype.kind != "f":
+        raise ValueError("predictor 3 requires floating-point samples")
+    return predictor
+
+
+def _apply_predictor(arr: np.ndarray, predictor: int) -> bytes:
+    """Forward TIFF predictor over one (rows, width, channels) chunk —
+    the exact inverse of :func:`_undo_predictor`."""
+    if predictor == 2:
+        u = np.ascontiguousarray(arr).view(
+            np.dtype(f"u{arr.dtype.itemsize}"))
+        d = u.copy()
+        d[:, 1:] -= u[:, :-1]
+        return d.tobytes()
+    if predictor == 3:
+        rows, width, channels = arr.shape
+        it = arr.dtype.itemsize
+        be = np.ascontiguousarray(arr).astype(
+            np.dtype(arr.dtype.str.replace("<", ">")))
+        planes = be.view(np.uint8).reshape(rows, width * channels, it)
+        b = np.ascontiguousarray(planes.transpose(0, 2, 1)).reshape(
+            rows, it * width, channels)
+        d = b.copy()
+        d[:, 1:] -= b[:, :-1]
+        return d.tobytes()
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def _encode_chunk(arr: np.ndarray, comp_code: int, predictor: int) -> bytes:
+    """One strip/tile array -> compressed payload bytes."""
+    data = _apply_predictor(arr, predictor)
+    if comp_code == _COMP_DEFLATE:
+        return zlib.compress(data, 6)
+    if comp_code == _COMP_LZW:
+        return _lzw_encode(data)
+    return data
+
+
+def _decode_chunk(raw: bytes, comp_code: int, predictor: int, rows: int,
+                  width: int, channels: int, dtype) -> np.ndarray:
+    """Compressed payload -> (rows, width, channels) array (the reader's
+    and the COG stream-writer's overview-readback shared path)."""
+    n_bytes = rows * width * channels * np.dtype(dtype).itemsize
+    if comp_code in (8, 32946):  # DEFLATE (and the old Deflate code)
+        raw = zlib.decompress(raw)
+    elif comp_code == _COMP_LZW:
+        raw = _lzw_decode(raw, decoded_size=n_bytes)
+    elif comp_code == 32773:
+        raw = _packbits_decode(raw)
+    elif comp_code != 1:
+        raise ValueError(f"unsupported TIFF compression {comp_code}")
+    return _undo_predictor(raw, predictor, np.dtype(dtype), rows, width,
+                           channels)
 
 
 def coerce_sample_dtype(dtype) -> np.dtype:
@@ -357,8 +452,9 @@ def write_geotiff(
     transform: Optional[Sequence[float]] = None,
     crs: str = "",
     nodata=None,
-    compress: bool = True,
+    compress=True,
     bigtiff: Optional[bool] = None,
+    predictor: int = 1,
 ) -> None:
     """Write an (H, W[, C]) array as a striped GeoTIFF.
 
@@ -366,13 +462,18 @@ def write_geotiff(
     (xscale, xshear, xtrans, yshear, yscale, ytrans)
     (utils/prediction_tools.py:450-455). ``bigtiff`` None = auto: use
     64-bit offsets when the raster would overflow classic TIFF's 4 GiB.
+    ``compress``: False/'none', True/'deflate', or 'lzw' (GDAL's COG
+    default); ``predictor``: 1 none, 2 integer horizontal differencing,
+    3 floating-point byte-plane differencing.
     """
     image = _as_hwc(image)
+    if predictor != 1:
+        _check_predictor(predictor, image.dtype)
     if bigtiff is None:
         h, w, c = image.shape
         bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize)
     _write_pages(path, [(image, transform, crs, nodata, compress, None, None)],
-                 big=bigtiff)
+                 big=bigtiff, predictor=predictor)
 
 
 def _pool_2x2(level: np.ndarray) -> np.ndarray:
@@ -412,14 +513,19 @@ def write_cog(
     nodata=None,
     tile_size: int = 256,
     overview_levels: Optional[int] = None,
-    compress: bool = True,
+    compress=True,
     bigtiff: Optional[bool] = None,
+    predictor: int = 1,
 ) -> None:
     """Write a Cloud-Optimized GeoTIFF: tiled base page + mean-pooled
     overview pages (the gdal.Translate COG path of
     utils/raster_tools.py:400-409). ``bigtiff`` None = auto (see
-    :func:`write_geotiff`)."""
+    :func:`write_geotiff`); ``compress``/``predictor`` as in
+    :func:`write_geotiff` ('lzw' + predictor 2 is GDAL's common COG
+    recipe)."""
     image = _as_hwc(image)
+    if predictor != 1:
+        _check_predictor(predictor, image.dtype)
     if bigtiff is None:
         h, w, c = image.shape
         bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize,
@@ -437,7 +543,7 @@ def write_cog(
         pages.append((level, scale, crs, nodata, compress, tile_size, 1))
         if min(level.shape[:2]) <= 1:
             break
-    _write_pages(path, pages, big=bigtiff)
+    _write_pages(path, pages, big=bigtiff, predictor=predictor)
 
 
 class _RowStreamBase:
@@ -472,9 +578,7 @@ class _RowStreamBase:
 
     def _write_chunk(self, arr: np.ndarray, offsets: list, counts: list):
         """Compress + append one strip/tile payload, tracking offsets."""
-        chunk = np.ascontiguousarray(arr).tobytes()
-        if self._compress:
-            chunk = zlib.compress(chunk, 6)
+        chunk = _encode_chunk(arr, self._comp_code, self._predictor)
         if not self._big and self._pos + len(chunk) > _CLASSIC_LIMIT:
             # raise at the first chunk that would overflow, not inside
             # close()'s struct.pack (the auto estimate is conservative, so
@@ -598,18 +702,22 @@ class GeoTiffStreamWriter(_RowStreamBase):
         transform: Optional[Sequence[float]] = None,
         crs: str = "",
         nodata=None,
-        compress: bool = True,
+        compress=True,
         rows_per_strip: Optional[int] = None,
         bigtiff: Optional[bool] = None,
+        predictor: int = 1,
     ):
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
             raise ValueError(f"unsupported sample dtype {dtype}")
+        comp_code = _norm_compress(compress)
+        if predictor != 1:
+            _check_predictor(predictor, dtype)
         if bigtiff is None:
             # auto: 64-bit offsets when the raster would overflow classic
             # TIFF's 4 GiB — decided up front (strips stream; no second pass)
             bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize)
-        elif not bigtiff and not compress and _auto_bigtiff(
+        elif not bigtiff and comp_code == _COMP_NONE and _auto_bigtiff(
                 height, width, channels, dtype.itemsize):
             # forced classic + uncompressed: the overflow is knowable now —
             # fail at construction, not after hours of streaming
@@ -617,7 +725,8 @@ class GeoTiffStreamWriter(_RowStreamBase):
                 "uncompressed raster exceeds the classic-TIFF 4 GiB offset "
                 "limit; pass bigtiff=True or split the output")
         self._geo = (transform, crs, nodata)
-        self._compress = compress
+        self._comp_code = comp_code
+        self._predictor = predictor
         self._rps = rows_per_strip or _default_rows_per_strip(
             width, channels, dtype.itemsize)
         self._init_stream(path, height, width, channels, dtype,
@@ -632,8 +741,8 @@ class GeoTiffStreamWriter(_RowStreamBase):
         h, w, c = self.shape
         transform, crs, nodata = self._geo
         b = _IFDBuilder(self._big)
-        _base_tags(b, h, w, c, self.dtype, self._compress, transform, crs,
-                   nodata)
+        _base_tags(b, h, w, c, self.dtype, self._comp_code, transform, crs,
+                   nodata, predictor=self._predictor)
         off_t = _off_type(self._big)
         b.add(_ROWS_PER_STRIP, _TYPE_LONG, self._rps)
         b.add(_STRIP_OFFSETS, off_t, self._offsets)
@@ -674,10 +783,11 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
         transform: Optional[Sequence[float]] = None,
         crs: str = "",
         nodata=None,
-        compress: bool = True,
+        compress=True,
         tile_size: int = 256,
         overview_levels: Optional[int] = None,
         bigtiff: Optional[bool] = None,
+        predictor: int = 1,
     ):
         dtype = np.dtype(dtype)
         if dtype not in _SAMPLE_FORMATS:
@@ -688,7 +798,9 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
             bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize,
                                     tile_size=tile_size, overviews=True)
         self._geo = (transform, crs, nodata)
-        self._compress = compress
+        self._comp_code = _norm_compress(compress)
+        self._predictor = (_check_predictor(predictor, dtype)
+                           if predictor != 1 else 1)
         self._ts = tile_size
         if overview_levels is None:
             overview_levels = _n_overview_levels(height, width, tile_size)
@@ -729,9 +841,9 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
                     i = trow * tiles_across + ix
                     rf.seek(page["offsets"][i])
                     raw = rf.read(page["counts"][i])
-                    if self._compress:
-                        raw = zlib.decompress(raw)
-                    tile = np.frombuffer(raw, self.dtype).reshape(ts, ts, c)
+                    tile = _decode_chunk(raw, self._comp_code,
+                                         self._predictor, ts, ts, c,
+                                         self.dtype)
                     ylo, yhi = max(ty, y0), min(ty + ts, y0 + n, page["h"])
                     xlo, xhi = ix * ts, min(ix * ts + ts, w)
                     out[ylo - y0 : yhi - y0, xlo:xhi] = tile[
@@ -766,8 +878,9 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
         for i, page in enumerate(self._pages):
             b = _IFDBuilder(self._big)
             _base_tags(b, page["h"], page["w"], c, self.dtype,
-                       self._compress, tf_level, crs, nodata,
-                       subfile_type=1 if i else None)
+                       self._comp_code, tf_level, crs, nodata,
+                       subfile_type=1 if i else None,
+                       predictor=self._predictor)
             b.add(_TILE_WIDTH, _TYPE_LONG, self._ts)
             b.add(_TILE_LENGTH, _TYPE_LONG, self._ts)
             b.add(_TILE_OFFSETS, off_t, page["offsets"])
@@ -794,12 +907,73 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
 # ---------------------------------------------------------------------------
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encode (compression 5, early-change width
+    schedule): the write-side twin of :func:`_lzw_decode`, so this codec
+    emits the compression GDAL defaults to for COG assets. Routes through
+    the native module (native/fastrecord.cc scv_lzw_encode, ~40 MB/s)
+    when available; the pure-Python fallback is identical bit-for-bit.
+    The early-change bump is pinned empirically against the decoder: the
+    decoder's table lags the encoder's by one entry and bumps at
+    ``len(table) == 2**nbits - 1``, so the encoder bumps at
+    ``next_code == 2**nbits``."""
+    from satellite_computervision_tpu import native
+
+    enc = native.lzw_encode(data)
+    if enc is not None:
+        return enc
+    CLEAR, EOI, FIRST, MAXC = 256, 257, 258, 4096
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code, nbits):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    nbits, next_code, table = 9, FIRST, {}
+    put(CLEAR, nbits)
+    if data:
+        prev = data[0]
+        for c in data[1:]:
+            key = (prev << 8) | c
+            if key in table:
+                prev = table[key]
+                continue
+            put(prev, nbits)
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << nbits) and nbits < 12:
+                nbits += 1
+            if next_code >= MAXC - 1:
+                put(CLEAR, nbits)
+                nbits, next_code, table = 9, FIRST, {}
+            prev = c
+        put(prev, nbits)
+    put(EOI, nbits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, decoded_size: Optional[int] = None) -> bytes:
     """TIFF-flavor LZW (MSB-first bit packing, 9→12-bit codes with the
     libtiff "early change" — code width bumps one entry early). This is
     the compression GDAL/rasterio commonly emit for COG assets
     (reference reads them via rasterio: utils/raster_tools.py:367-461),
-    so the self-contained reader must decode it."""
+    so the self-contained reader must decode it. With ``decoded_size``
+    (known from the TIFF chunk geometry) the native decoder
+    (scv_lzw_decode, ~50x this loop) handles it."""
+    if decoded_size is not None:
+        from satellite_computervision_tpu import native
+
+        dec = native.lzw_decode(data, decoded_size)
+        if dec is not None:
+            return dec
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list = []
@@ -1029,21 +1203,12 @@ class GeoTiffScene:
 
     def _decode(self, f, off, n_bytes, rows, width):
         """Read + decompress one strip/tile and undo the predictor,
-        returning a (rows, width, C) array."""
+        returning a (rows, width, C) array (LZW chunks route through the
+        native decoder — the chunk geometry fixes the decoded size)."""
         f.seek(off)
         raw = f.read(n_bytes)
-        comp = self._compression
-        if comp in (8, 32946):  # DEFLATE (and the old Deflate code)
-            raw = zlib.decompress(raw)
-        elif comp == 5:
-            raw = _lzw_decode(raw)
-        elif comp == 32773:
-            raw = _packbits_decode(raw)
-        elif comp != 1:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-        c = self.shape[2]
-        return _undo_predictor(raw, self._predictor, self.dtype,
-                               rows, width, c)
+        return _decode_chunk(raw, self._compression, self._predictor,
+                             rows, width, self.shape[2], self.dtype)
 
     @staticmethod
     def _axis_range(key, size):

@@ -71,6 +71,10 @@ def get_lib():
         lib.scv_find_float_feature.restype = ctypes.c_int64
         lib.scv_frame_record.argtypes = [u8p, ctypes.c_int64, u8p]
         lib.scv_frame_record.restype = ctypes.c_int64
+        lib.scv_lzw_encode.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.scv_lzw_encode.restype = ctypes.c_int64
+        lib.scv_lzw_decode.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.scv_lzw_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -141,4 +145,39 @@ def frame_record(payload: bytes) -> Optional[bytes]:
     n = lib.scv_frame_record(
         _as_u8(payload), len(payload), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
+    return out[:n].tobytes()
+
+
+def lzw_encode(data: bytes) -> Optional[bytes]:
+    """TIFF-flavor LZW encode (compression 5, early change), or None when
+    the native library is unavailable. The worst case for LZW is ~9/8
+    expansion on incompressible input plus clear/EOI overhead."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 2 + 64
+    out = np.zeros(cap, np.uint8)
+    n = lib.scv_lzw_encode(
+        _as_u8(data), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None  # caller falls back to pure Python
+    return out[:n].tobytes()
+
+
+def lzw_decode(data: bytes, decoded_size: int) -> Optional[bytes]:
+    """TIFF-flavor LZW decode into a buffer of ``decoded_size`` (the TIFF
+    chunk geometry fixes it); None when the library is unavailable.
+    Raises ValueError on a corrupt stream, matching the Python decoder."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(max(decoded_size, 1), np.uint8)
+    n = lib.scv_lzw_decode(
+        _as_u8(data), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), decoded_size)
+    if n == -1:
+        raise ValueError("corrupt LZW stream")
+    if n < 0:
+        return None  # undersized buffer estimate: fall back
     return out[:n].tobytes()

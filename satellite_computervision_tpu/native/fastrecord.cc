@@ -243,4 +243,190 @@ int64_t scv_frame_record(const uint8_t* data, int64_t len, uint8_t* out) {
   return len + 16;
 }
 
+// ---------------------------------------------------------------------------
+// TIFF-flavor LZW (compression 5): MSB-first bit packing, 9->12-bit codes
+// with libtiff's "early change" (code width bumps one table entry early).
+// The hot path of swath-scale COG serving — GDAL emits LZW for most COG
+// assets, and the pure-Python codec loops byte-by-byte (~1-2 MB/s); these
+// run at hundreds of MB/s and release the GIL via ctypes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kClear = 256;
+constexpr int kEoi = 257;
+constexpr int kFirst = 258;
+constexpr int kMaxCode = 4096;
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t pos = 0;   // bytes fully written
+  uint64_t acc = 0;  // pending bits, MSB-aligned in the low bits
+  int nacc = 0;
+
+  bool put(uint32_t code, int nbits) {
+    acc = (acc << nbits) | code;
+    nacc += nbits;
+    while (nacc >= 8) {
+      if (pos >= cap) return false;
+      out[pos++] = static_cast<uint8_t>((acc >> (nacc - 8)) & 0xFF);
+      nacc -= 8;
+    }
+    return true;
+  }
+  bool flush() {
+    if (nacc > 0) {
+      if (pos >= cap) return false;
+      out[pos++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFF);
+      nacc = 0;
+    }
+    return true;
+  }
+};
+
+}  // namespace
+
+// Encode `src` into `dst` (capacity dst_cap). Returns bytes written, or -1
+// when dst is too small. Matches the decoder below (and the Python
+// geo.geotiff._lzw_decode) bit-for-bit, including the early-change width
+// schedule and table reset.
+int64_t scv_lzw_encode(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t dst_cap) {
+  BitWriter w{dst, dst_cap};
+  // hash table: (prefix_code << 8 | next_byte) -> code. Open addressing
+  // over a power-of-two table comfortably above 4096 entries.
+  constexpr int kHashBits = 13;
+  constexpr int kHashSize = 1 << kHashBits;  // 8192
+  int32_t hash_key[kHashSize];
+  int16_t hash_val[kHashSize];
+  auto reset_table = [&]() { std::memset(hash_key, -1, sizeof(hash_key)); };
+
+  int nbits = 9;
+  int next_code = kFirst;
+  reset_table();
+  if (!w.put(kClear, nbits)) return -1;
+  if (n == 0) {
+    if (!w.put(kEoi, nbits) || !w.flush()) return -1;
+    return w.pos;
+  }
+
+  int32_t prev = src[0];
+  for (int64_t i = 1; i < n; ++i) {
+    const int32_t key = (prev << 8) | src[i];
+    uint32_t h = (static_cast<uint32_t>(key) * 0x9E3779B1u) >> (32 - kHashBits);
+    int32_t found = -1;
+    while (hash_key[h] != -1) {
+      if (hash_key[h] == key) { found = hash_val[h]; break; }
+      h = (h + 1) & (kHashSize - 1);
+    }
+    if (found != -1) {
+      prev = found;
+      continue;
+    }
+    if (!w.put(static_cast<uint32_t>(prev), nbits)) return -1;
+    hash_key[h] = key;
+    hash_val[h] = static_cast<int16_t>(next_code);
+    ++next_code;
+    // early-change schedule, pinned empirically against the decoder
+    // (which itself decodes GDAL-written files): the decoder lags the
+    // encoder's table by one entry and bumps at len == 2^nbits - 1, so
+    // the matching encoder bump is next_code == 2^nbits
+    if (next_code == (1 << nbits) && nbits < 12) ++nbits;
+    if (next_code >= kMaxCode - 1) {  // 12-bit table about to overflow
+      if (!w.put(kClear, nbits)) return -1;
+      nbits = 9;
+      next_code = kFirst;
+      reset_table();
+    }
+    prev = src[i];
+  }
+  if (!w.put(static_cast<uint32_t>(prev), nbits)) return -1;
+  if (!w.put(kEoi, nbits)) return -1;
+  if (!w.flush()) return -1;
+  return w.pos;
+}
+
+// Decode `src` into `dst` (capacity dst_cap — the caller knows the chunk's
+// decompressed size from the TIFF geometry). Returns bytes written, -1 on
+// a corrupt stream, -2 when dst is too small.
+int64_t scv_lzw_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t dst_cap) {
+  // string table: per code, (previous code, final byte, length)
+  static thread_local int32_t prev_of[kMaxCode];
+  static thread_local uint8_t byte_of[kMaxCode];
+  static thread_local int32_t len_of[kMaxCode];
+  for (int i = 0; i < 256; ++i) {
+    prev_of[i] = -1;
+    byte_of[i] = static_cast<uint8_t>(i);
+    len_of[i] = 1;
+  }
+  int table_len = 0;  // valid only after a CLEAR
+  int nbits = 9;
+  int64_t bitpos = 0;
+  const int64_t total = n * 8;
+  int32_t prev = -1;
+  int64_t out = 0;
+
+  auto emit = [&](int32_t code) -> int64_t {  // returns start offset or -1
+    const int32_t len = len_of[code];
+    if (out + len > dst_cap) return -1;
+    int64_t p = out + len;
+    int32_t c = code;
+    while (c >= 0) {
+      dst[--p] = byte_of[c];
+      c = prev_of[c];
+    }
+    const int64_t start = out;
+    out += len;
+    return start;
+  };
+
+  while (bitpos + nbits <= total) {
+    const int64_t byte0 = bitpos >> 3;
+    uint32_t window = 0;
+    for (int k = 0; k < 4; ++k)
+      window = (window << 8) | (byte0 + k < n ? src[byte0 + k] : 0);
+    const uint32_t code =
+        (window >> (32 - nbits - (bitpos & 7))) & ((1u << nbits) - 1);
+    bitpos += nbits;
+    if (code == kClear) {
+      table_len = kFirst;
+      nbits = 9;
+      prev = -1;
+      continue;
+    }
+    if (code == kEoi) break;
+    if (table_len == 0) return -1;  // no leading clear code
+    if (prev < 0) {
+      if (code >= 256) return -1;
+      if (emit(code) < 0) return -2;
+    } else if (static_cast<int>(code) < table_len) {
+      const int64_t start = emit(code);
+      if (start < 0) return -2;
+      if (table_len < kMaxCode) {
+        prev_of[table_len] = prev;
+        byte_of[table_len] = dst[start];  // first byte of the emitted entry
+        len_of[table_len] = len_of[prev] + 1;
+        ++table_len;
+      }
+    } else if (static_cast<int>(code) == table_len && table_len < kMaxCode) {
+      // KwKwK: entry = prev + first byte of prev
+      prev_of[table_len] = prev;
+      len_of[table_len] = len_of[prev] + 1;
+      // materialize prev once to find its first byte
+      int32_t c = prev;
+      while (prev_of[c] >= 0) c = prev_of[c];
+      byte_of[table_len] = byte_of[c];
+      ++table_len;
+      if (emit(table_len - 1) < 0) return -2;
+    } else {
+      return -1;  // code beyond table
+    }
+    prev = static_cast<int32_t>(code);
+    if (table_len == (1 << nbits) - 1 && nbits < 12) ++nbits;
+  }
+  return out;
+}
+
 }  // extern "C"

@@ -619,3 +619,83 @@ def test_stream_writer_close_failure_aborts(tmp_path, rng, monkeypatch):
         with open(p, "rb") as f:
             head = f.read(8)
         assert head[4:8] == b"\x00\x00\x00\x00"  # IFD pointer never patched
+
+
+@pytest.mark.parametrize("compress,predictor,dtype", [
+    ("lzw", 1, np.uint16),
+    ("lzw", 2, np.uint16),
+    ("deflate", 2, np.uint16),
+    ("lzw", 3, np.float32),
+    ("deflate", 3, np.float32),
+])
+def test_write_lzw_predictor_roundtrip(tmp_path, rng, compress, predictor,
+                                       dtype):
+    """Round-5 write-side LZW + predictors: every compress/predictor combo
+    round-trips bit-exactly through write_geotiff, write_cog and the
+    streaming writers, and windowed reads decode only what they touch."""
+    from satellite_computervision_tpu.geo import (
+        GeoTiffCogStreamWriter,
+        GeoTiffScene,
+        GeoTiffStreamWriter,
+    )
+
+    low = rng.integers(0, 3000, (9, 9, 3)).astype(np.uint16)
+    img = np.kron(low, np.ones((16, 16, 1), np.uint16))[:130, :135]
+    img = (img + rng.integers(0, 5, img.shape).astype(np.uint16))
+    img = img.astype(dtype) if dtype != np.float32 else (
+        img / 3000.0).astype(np.float32)
+    kw = dict(transform=TRANSFORM, crs="EPSG:32617",
+              compress=compress, predictor=predictor)
+
+    p = str(tmp_path / "w.tif")
+    write_geotiff(p, img, **kw)
+    back, meta = read_geotiff(p)
+    np.testing.assert_array_equal(back, img)
+    assert "32617" in meta["crs"]
+
+    p = str(tmp_path / "c.tif")
+    write_cog(p, img, tile_size=64, **kw)
+    np.testing.assert_array_equal(read_geotiff(p)[0], img)
+    sc = GeoTiffScene(p)
+    np.testing.assert_array_equal(sc[17:101, 30:99], img[17:101, 30:99])
+
+    p = str(tmp_path / "s.tif")
+    with GeoTiffStreamWriter(p, *img.shape, img.dtype, **kw) as wr:
+        for y in range(0, img.shape[0], 48):
+            wr.write_rows(img[y : y + 48])
+    np.testing.assert_array_equal(read_geotiff(p)[0], img)
+
+    p = str(tmp_path / "cs.tif")
+    with GeoTiffCogStreamWriter(p, *img.shape, img.dtype, tile_size=64,
+                                **kw) as wr:
+        for y in range(0, img.shape[0], 48):
+            wr.write_rows(img[y : y + 48])
+    np.testing.assert_array_equal(read_geotiff(p)[0], img)
+    ov, _ = read_geotiff(p, page=1)
+    assert ov.shape == (65, 67, 3)
+
+
+def test_write_predictor_dtype_validation(tmp_path, rng):
+    img_f = rng.normal(size=(20, 20, 1)).astype(np.float32)
+    img_i = rng.integers(0, 100, (20, 20, 1)).astype(np.uint16)
+    with pytest.raises(ValueError, match="predictor 2"):
+        write_geotiff(str(tmp_path / "x.tif"), img_f, predictor=2)
+    with pytest.raises(ValueError, match="predictor 3"):
+        write_geotiff(str(tmp_path / "x.tif"), img_i, predictor=3)
+    with pytest.raises(ValueError, match="compression"):
+        write_geotiff(str(tmp_path / "x.tif"), img_i, compress="jpeg")
+
+
+@pytest.mark.skipif(not _libtiff(), reason="PIL lacks libtiff")
+def test_libtiff_reads_our_lzw(tmp_path, rng):
+    """External cross-validation of the WRITE side: libtiff (via PIL)
+    decodes our LZW and LZW+predictor-2 output bit-exactly — the inverse
+    direction of test_read_libtiff_lzw_packbits_predictor."""
+    from PIL import Image
+
+    u8 = (np.arange(60 * 45, dtype=np.uint8) % 249).reshape(60, 45)
+    for predictor in (1, 2):
+        p = str(tmp_path / f"ours_p{predictor}.tif")
+        write_geotiff(p, u8[..., None], compress="lzw", predictor=predictor)
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, u8)

@@ -95,3 +95,32 @@ def test_read_float_examples_both_paths(tmp_path, rng, compression):
     for orig, row in zip(examples, rows):
         np.testing.assert_array_equal(row["B2"], orig["B2"])
         np.testing.assert_array_equal(row["y"], orig["y"])
+
+
+def test_native_lzw_matches_python_both_directions(monkeypatch, rng):
+    """Native LZW encode/decode and the pure-Python twins are
+    bit-interchangeable, across the 9->12-bit width bumps and the
+    table-full reset; corrupt streams raise."""
+    from satellite_computervision_tpu.geo import geotiff as gt
+
+    if native.get_lib() is None:
+        pytest.skip("no compiler for the native library")
+
+    cases = [
+        rng.integers(0, 256, 70000, dtype=np.uint8).tobytes(),  # 9->12 bits
+        rng.integers(0, 6, 400000, dtype=np.uint8).tobytes(),   # table resets
+        (b"A" * 4096 + bytes(range(256)) * 16) * 4,
+        b"", b"x",
+    ]
+    for data in cases:
+        enc_native = native.lzw_encode(data)
+        # force the pure-Python encoder
+        monkeypatch.setattr(native, "lzw_encode", lambda d: None)
+        enc_py = gt._lzw_encode(data)
+        monkeypatch.undo()
+        assert enc_native == enc_py  # bit-identical streams
+        assert gt._lzw_decode(enc_native) == data          # python decode
+        assert native.lzw_decode(enc_native, len(data)) == data  # native
+
+    with pytest.raises(ValueError):
+        native.lzw_decode(b"\x00\x00\xff\xff\xff\xff", 64)
