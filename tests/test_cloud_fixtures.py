@@ -341,3 +341,161 @@ def test_ee_wait_for_task_raises_on_failure(fake_ee):
     assert ee_mod.wait_for_task(DoneTask())["state"] == "COMPLETED"
     with pytest.raises(RuntimeError, match="quota"):
         ee_mod.wait_for_task(FailedTask())
+
+
+# ---------------------------------------------------------------------------
+# round-5 fixture depth: pagination, majority-CRS flips, SAS expiry
+# re-entry, export poll loop (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_search_stac_drains_paginated_results(monkeypatch):
+    """Multi-page STAC searches: pystac-client's items() is a lazy
+    generator that fetches pages on demand — search_stac must drain it
+    fully (all pages), not stop at page 1. The fake server records each
+    page pull."""
+    pulls = []
+
+    class PagedSearch:
+        def items(self):
+            for page in range(3):
+                pulls.append(page)
+                for i in range(2):
+                    yield FakeItem({
+                        "id": f"p{page}i{i}",
+                        "properties": {
+                            "datetime": "2021-06-01T00:00:00Z"},
+                    })
+
+    class PagedCatalog:
+        def search(self, **kw):
+            return PagedSearch()
+
+    fake_client = types.SimpleNamespace(
+        Client=types.SimpleNamespace(open=lambda url, modifier=None: PagedCatalog())
+    )
+    fake_pc = types.SimpleNamespace(sign_inplace=None)
+    monkeypatch.setattr(pc, "_pystac", lambda: (fake_client, fake_pc))
+
+    items = pc.search_stac("naip", BBOX)
+    assert [i.id for i in items] == [
+        "p0i0", "p0i1", "p1i0", "p1i1", "p2i0", "p2i1"]
+    assert pulls == [0, 1, 2]  # every page fetched exactly once
+
+
+def test_naip_mosaic_majority_epsg_flip():
+    """The reference's NAIP path mosaics the majority-EPSG tiles and warps
+    the minority onto it (utils/pc_tools.py:131-186): when the tile mix
+    changes which EPSG is the majority, the OTHER side becomes the
+    rejected minority — and pre-warped (relabeled) minority tiles mosaic
+    cleanly."""
+    from satellite_computervision_tpu.cloud import compositing as cp
+
+    def tile(x0, crs):
+        return {"array": np.full((4, 4, 3), x0, np.float32),
+                "transform": (1.0, 0.0, float(x0), 0.0, -1.0, 0.0),
+                "crs": crs}
+
+    # two 26917 tiles + one 26918: 26918 is the rejected minority
+    tiles = [tile(0, "EPSG:26917"), tile(4, "EPSG:26917"),
+             tile(8, "EPSG:26918")]
+    with pytest.raises(ValueError, match="majority CRS EPSG:26917"):
+        cp.mosaic_tiles(tiles)
+
+    # the same bbox a year later: two 26918 flights + one old 26917 tile —
+    # the majority flips and the 26917 tile is now the minority
+    tiles = [tile(0, "EPSG:26917"), tile(4, "EPSG:26918"),
+             tile(8, "EPSG:26918")]
+    with pytest.raises(ValueError, match="majority CRS EPSG:26918"):
+        cp.mosaic_tiles(tiles)
+
+    # after warping (tiles arrive relabeled on the majority grid, as
+    # GDAL-Warp produced them in the reference) the mosaic covers all
+    tiles = [tile(0, "EPSG:26918"), tile(4, "EPSG:26918"),
+             tile(8, "EPSG:26918")]
+    mosaic, transform, crs = cp.mosaic_tiles(tiles)
+    assert crs == "EPSG:26918" and mosaic.shape == (4, 12, 3)
+    assert transform[2] == 0.0
+    np.testing.assert_allclose(mosaic[0, 0], 0.0)
+    np.testing.assert_allclose(mosaic[0, 11], 8.0)
+
+
+def test_resign_vrt_expiry_reentry(tmp_path):
+    """SAS tokens expire MID-STREAM in long sweeps: the reference re-signs
+    the VRT and re-opens it (utils/pc_tools.py:55-81 + its call sites).
+    resign_vrt must therefore be re-entrant — re-signing an
+    already-resigned tree swaps in the new epoch's tokens everywhere,
+    including the nested warped VRT, without touching the originals."""
+    from satellite_computervision_tpu.cloud.pc import resign_vrt
+
+    inner = tmp_path / "warped_inner.vrt"
+    inner.write_text(
+        "<VRTDataset><SourceDataset>"
+        "https://x.blob.core.windows.net/naip/a.tif?sig=EXPIRED0"
+        "</SourceDataset></VRTDataset>")
+    outer = tmp_path / "mosaic.vrt"
+    outer.write_text(
+        "<VRTDataset><VRTRasterBand><SimpleSource><SourceFilename>"
+        "https://x.blob.core.windows.net/naip/b.tif?sig=EXPIRED0"
+        "</SourceFilename></SimpleSource>"
+        f"<SimpleSource><SourceFilename>{inner.name}</SourceFilename>"
+        "</SimpleSource></VRTRasterBand></VRTDataset>")
+
+    epoch = {"n": 0}
+
+    def signer(url):
+        return f"{url}?sig=TOKEN{epoch['n']}"
+
+    epoch["n"] = 1
+    first = resign_vrt(str(outer), signer=signer)
+    assert "b.tif?sig=TOKEN1" in open(first).read()
+    assert "a.tif?sig=TOKEN1" in (tmp_path / "warped_inner_resigned.vrt").read_text()
+
+    # ... an hour into the sweep the tokens lapse: re-sign the RESIGNED
+    # tree (signer strips the stale query string before signing)
+    epoch["n"] = 2
+    second = resign_vrt(first, signer=signer, suffix="_r2")
+    text = open(second).read()
+    assert "b.tif?sig=TOKEN2" in text and "TOKEN1" not in text
+    # the nested reference now points at the re-signed inner tree
+    assert "warped_inner_resigned_r2.vrt" in text
+    inner2 = (tmp_path / "warped_inner_resigned_r2.vrt").read_text()
+    assert "a.tif?sig=TOKEN2" in inner2
+    # originals untouched: a concurrent reader of epoch-1 files is safe
+    assert "TOKEN1" in (tmp_path / "warped_inner_resigned.vrt").read_text()
+    assert "EXPIRED0" in inner.read_text()
+
+
+def test_ee_wait_for_task_polls_until_failure(fake_ee):
+    """The export poll loop (solar nb cell 75): an active task is polled
+    repeatedly (with the 30 s cadence patched out), and a failure AFTER
+    several active polls still propagates with the server's message."""
+    ee_mod, _ = fake_ee
+    naps = []
+
+    class SlowFail:
+        id = "T9"
+
+        def __init__(self):
+            self.polls = 0
+
+        def active(self):
+            self.polls += 1
+            return self.polls <= 3
+
+        def status(self):
+            return {"state": "FAILED",
+                    "error_message": "Pixel grid too large"}
+
+    import time as _time
+    task = SlowFail()
+    logged = []
+    orig_sleep = _time.sleep
+    _time.sleep = lambda s: naps.append(s)
+    try:
+        with pytest.raises(RuntimeError, match="Pixel grid too large"):
+            ee_mod.wait_for_task(task, poll_seconds=30, log_fn=logged.append)
+    finally:
+        _time.sleep = orig_sleep
+    assert task.polls == 4  # 3 active polls + the final check
+    assert naps == [30, 30, 30] and len(logged) == 3
