@@ -954,6 +954,12 @@ def _lzw_encode(data: bytes) -> bytes:
                 nbits, next_code, table = 9, FIRST, {}
             prev = c
         put(prev, nbits)
+        # the final data code adds no encoder entry, but the decoder
+        # appends one for it and may widen before its next read — EOI
+        # must land at the decoder's width (decoder table len ==
+        # next_code after the final emit)
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
     put(EOI, nbits)
     if nacc:
         out.append((acc << (8 - nacc)) & 0xFF)

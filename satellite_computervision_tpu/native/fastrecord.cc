@@ -342,6 +342,11 @@ int64_t scv_lzw_encode(const uint8_t* src, int64_t n, uint8_t* dst,
     prev = src[i];
   }
   if (!w.put(static_cast<uint32_t>(prev), nbits)) return -1;
+  // the final data code gets no table insert on this side, but the
+  // DECODER still appends an entry for it and may widen before reading
+  // the next code — mirror that so EOI lands at the decoder's width
+  // (after E emits since clear, decoder table length == next_code here)
+  if (next_code == (1 << nbits) - 1 && nbits < 12) ++nbits;
   if (!w.put(kEoi, nbits)) return -1;
   if (!w.flush()) return -1;
   return w.pos;

@@ -124,3 +124,22 @@ def test_native_lzw_matches_python_both_directions(monkeypatch, rng):
 
     with pytest.raises(ValueError):
         native.lzw_decode(b"\x00\x00\xff\xff\xff\xff", 64)
+
+
+def test_lzw_eoi_width_at_table_boundary():
+    """Regression (round 5): the final data code adds no encoder table
+    entry, but the decoder appends one for it and widens when its table
+    hits 2^nbits - 1 — so EOI must be emitted at the widened width. With
+    the old encoder this desynced exactly when the last code landed on
+    the boundary (surfaced as a corrupted 8192^2 LZW scene in
+    examples/swath_codec_sweep.py). Sweep lengths densely across the
+    9->10 bit boundary so the final code lands on every alignment."""
+    from satellite_computervision_tpu.geo import geotiff as gt
+
+    base = bytes(range(256)) + bytes(range(0, 256, 2)) + bytes(range(1, 256, 2))
+    for n in range(240, 530):
+        data = base[:n]
+        enc = gt._lzw_encode(data)
+        assert gt._lzw_decode(enc) == data, f"python decode desync at n={n}"
+        if native.get_lib() is not None:
+            assert native.lzw_decode(enc, n) == data, f"native desync at n={n}"
