@@ -725,3 +725,39 @@ def test_npy_dataset_uses_measured_training_geometry(tmp_path):
     # unset -> falls back to the reference chip geometry
     plain = dataclasses.replace(CHANGE_CONFIG, kernel_size=96)
     assert plain.training_geometry == (96, plain.batch_size)
+
+
+def test_swath_codec_sweep_demo(tmp_path):
+    """The measured swath loop (examples/swath_codec_sweep.py, bench.py
+    --swath) at smoke scale: LZW+predictor COGs synthesized through the
+    streaming writer, served through the banded engine with overview
+    calibration, streamed back out as COGs — records + summary land in
+    the JSONL log and outputs are valid GeoTIFFs."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from swath_codec_sweep import main as swath_main
+
+    from satellite_computervision_tpu.geo import read_geotiff
+
+    log = tmp_path / "swath.jsonl"
+    rc = swath_main([
+        "--scenes", "2", "--height", "256", "--width", "192", "--bands", "3",
+        "--kernel", "64", "--buffer", "32", "--batch", "4",
+        "--max-rows", "160", "--filters", "4", "8",
+        "--dir", str(tmp_path), "--log", str(log), "--keep",
+    ])
+    assert rc == 0
+    lines = [_json.loads(l) for l in log.read_text().splitlines()]
+    assert len(lines) == 3  # 2 scene records + summary
+    summary = lines[-1]["summary"]
+    assert summary["swath_scenes"] == 2 and summary["sweep_mpix_per_s"] > 0
+    for i in range(2):
+        assert lines[i]["in_mb"] > 0 and lines[i]["rss_now_mb"] > 0
+        pred, meta = read_geotiff(str(tmp_path / f"pred_{i}.tif"))
+        assert pred.shape == (256, 192, 1) and pred.dtype == np.uint8
+        assert "32617" in meta["crs"]
+        # probabilities land mid-range (a tiny random-init model outputs
+        # near-constant ~0.5; the pipeline contract is coverage + dtype)
+        assert 1 <= pred.mean() <= 254
