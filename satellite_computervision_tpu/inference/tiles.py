@@ -586,9 +586,10 @@ class TiledInferenceEngine:
 
     def predict_scene_to_geotiff(self, scene, path, transform=None,
                                  crs: str = "", nodata_tag=None,
-                                 compress: bool = True,
+                                 compress=True,
                                  cog: bool = False,
-                                 bigtiff=None) -> str:
+                                 bigtiff=None,
+                                 predictor: int = 1) -> str:
         """Predict a scene and stream the result straight into a striped
         GeoTIFF at ``path`` — the disk→disk swath-serving pipeline.
 
@@ -628,7 +629,8 @@ class TiledInferenceEngine:
                 writer = cls(
                     path, h, w, self.out_channels, target,
                     transform=transform, crs=crs, nodata=nodata_tag,
-                    compress=compress, bigtiff=bigtiff)
+                    compress=compress, bigtiff=bigtiff,
+                    predictor=predictor)
             writer.write_rows(block.astype(cast) if cast else block)
 
         try:

@@ -204,6 +204,15 @@ def main(argv=None):
                     "often 30-60%% nodata. Defaults to the input GeoTIFF's "
                     "nodata tag when present; chips tile-mode only")
     ap.add_argument("--cog", action="store_true", help="write Cloud-Optimized GeoTIFF")
+    ap.add_argument("--compress", choices=["none", "deflate", "lzw"],
+                    default="deflate",
+                    help="output compression; lzw (+ --predictor 2) is "
+                    "GDAL's common COG recipe")
+    ap.add_argument("--predictor", type=int, choices=[1, 2, 3], default=1,
+                    help="TIFF predictor on the output: 2 = integer "
+                    "horizontal differencing (uint8 outputs, i.e. --uint8), "
+                    "3 = float byte-plane differencing (probability "
+                    "outputs)")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="sweep mode: scenes staged ahead on device")
     ap.add_argument("--shard-index", type=int, default=0,
@@ -237,6 +246,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
+    comp_kw = dict(compress=args.compress, predictor=args.predictor)
     arch = args.model or ("siamese" if cfg.family == "siamese" else "unet")
     model, variables = load_model(cfg, args.ckpt, arch=arch,
                                   space_to_depth=args.s2d)
@@ -283,7 +293,7 @@ def main(argv=None):
         writer(out, pred,
                transform=tuple(args.transform) if args.transform
                else meta.get("transform"),
-               crs=args.crs or meta.get("crs", ""))
+               crs=args.crs or meta.get("crs", ""), **comp_kw)
         print(f"wrote {out} shape={pred.shape}")
         return
 
@@ -337,7 +347,8 @@ def main(argv=None):
             # O(band) end to end. --cog streams tiles + overview pyramids
             # (GeoTiffCogStreamWriter) at the same memory bound
             engine.predict_scene_to_geotiff(scene, out, transform=out_tf,
-                                            crs=out_crs, cog=args.cog)
+                                            crs=out_crs, cog=args.cog,
+                                            **comp_kw)
             print(f"wrote {out} (streamed banded{', cog' if args.cog else ''}) "
                   f"shape={(scene.shape[0], scene.shape[1], cfg.num_classes)}")
             return
@@ -351,7 +362,7 @@ def main(argv=None):
             # lazy/banded scenes cull per band inside the engine
             pred = np.asarray(engine.predict_scene(scene))
         writer = write_cog if args.cog else write_geotiff
-        writer(out, pred, transform=out_tf, crs=out_crs)
+        writer(out, pred, transform=out_tf, crs=out_crs, **comp_kw)
         print(f"wrote {out} shape={pred.shape}")
         return
 
@@ -448,11 +459,12 @@ def main(argv=None):
                 if scene.shape[0] <= args.max_rows:
                     pred = np.asarray(engine.predict_scene(scene))
                     (write_cog if args.cog else write_geotiff)(
-                        out, pred, **geo_kwargs(meta))
+                        out, pred, **geo_kwargs(meta), **comp_kw)
                 else:
                     engine.predict_scene_to_geotiff(scene, out,
                                                     cog=args.cog,
-                                                    **geo_kwargs(meta))
+                                                    **geo_kwargs(meta),
+                                                    **comp_kw)
                 h, w = scene.shape[:2]
                 mpix += h * w / 1e6
                 written.append(out)
@@ -483,7 +495,7 @@ def main(argv=None):
                 pred = pred[:h, :w]
                 out = out_path(path)
                 (write_cog if args.cog else write_geotiff)(
-                    out, pred, **geo_kwargs(meta))
+                    out, pred, **geo_kwargs(meta), **comp_kw)
                 mpix += pred.shape[0] * pred.shape[1] / 1e6
                 written.append(out)
                 print(f"  {out} shape={pred.shape}")

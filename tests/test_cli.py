@@ -135,12 +135,13 @@ def test_train_then_predict_cli(tmp_path, monkeypatch):
     assert "32617" in meta_s["crs"]
     np.testing.assert_allclose(pred_s, pred_c, rtol=1e-5, atol=1e-5)
 
-    # --cog + --max-rows streams tiles AND overview pyramids
+    # --cog + --max-rows streams tiles AND overview pyramids; LZW +
+    # float predictor-3 output (GDAL's COG recipe) round-trips losslessly
     out_cogstream = str(tmp_path / "pred_stream_cog.tif")
     predict_cli.main([
         "scene", "--input", tif_in, "--ckpt", ckpt,
         "--config", "solar", "--output", out_cogstream, "--batch-size", "4",
-        "--max-rows", "96", "--cog",
+        "--max-rows", "96", "--cog", "--compress", "lzw", "--predictor", "3",
     ])
     base_cs, _ = read_geotiff(out_cogstream, page=0)
     np.testing.assert_allclose(base_cs, pred_s, rtol=1e-6, atol=1e-7)
