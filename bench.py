@@ -81,7 +81,10 @@ RESULT = {
     "unit": "MPix/s",
     "vs_baseline": None,
 }
-_EMIT_LOCK = threading.Lock()
+# RLock: the SIGTERM handler runs on the main thread and may interrupt
+# emit() mid-print — a plain Lock would self-deadlock exactly when the
+# guards matter most (_EMITTED flips before print, so re-entry no-ops)
+_EMIT_LOCK = threading.RLock()
 _EMITTED = False
 
 
@@ -243,8 +246,11 @@ def stage_headline(model, variables, scenes):
         # headline if the budget expires mid-stage
         mpix = SCENE * SCENE / 1e6
         ratios = sorted(r / o for o, r in pairs)
+        n = len(ratios)
+        median = (ratios[n // 2] if n % 2
+                  else (ratios[n // 2 - 1] + ratios[n // 2]) / 2)
         RESULT["value"] = round(mpix / min(o for o, _ in pairs), 3)
-        RESULT["vs_baseline"] = round(ratios[len(ratios) // 2], 2)
+        RESULT["vs_baseline"] = round(median, 2)
 
 
 def _floor(staged):

@@ -167,7 +167,7 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.log) or ".", exist_ok=True)
     raw_mb = args.height * args.width * args.bands * 2 / 1e6
     mpix = args.height * args.width / 1e6
-    rss_start = _rss_mb()
+    rss_start = _rss_now_mb()  # current RSS: same metric as rss_growth's end
     records = []
 
     # ---- 1. synthesize the LZW+predictor COG inputs ----------------------

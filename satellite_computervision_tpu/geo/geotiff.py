@@ -74,14 +74,16 @@ _CLASSIC_LIMIT = 0xFFFF0000
 
 
 def _auto_bigtiff(height, width, channels, itemsize, tile_size=None,
-                  overviews=False) -> bool:
+                  overviews=False, expand: float = 1.0) -> bool:
     """Conservative pre-write estimate of whether a raster needs 64-bit
     offsets: padded-tile payload (+1/3 for an overview pyramid) PLUS the
     IFD's out-of-line strip/tile offset+byte-count arrays (8 B per chunk
     classic — at 4 GiB of 8 KiB strips that is ~4 MiB, enough to push a
     near-limit file's outline pointers past 2^32) vs the classic limit.
-    Compression only shrinks zlib payloads by more than the per-chunk
-    overhead, so an uncompressed-size estimate is safe."""
+    DEFLATE only shrinks payloads by more than the per-chunk overhead, so
+    its uncompressed-size estimate is safe — but LZW can EXPAND
+    high-entropy data up to ~1.5x (12-bit codes per literal byte), so
+    LZW callers pass ``expand`` to keep the estimate conservative."""
     if tile_size:
         h = -(-height // tile_size) * tile_size
         w = -(-width // tile_size) * tile_size
@@ -90,10 +92,16 @@ def _auto_bigtiff(height, width, channels, itemsize, tile_size=None,
         h, w = height, width
         rps = _default_rows_per_strip(width, channels, itemsize)
         n_chunks = -(-height // rps)
-    est = h * w * channels * itemsize + n_chunks * 16
+    est = int(h * w * channels * itemsize * expand) + n_chunks * 16
     if overviews:
         est += est // 3
     return est > _CLASSIC_LIMIT - (1 << 20)
+
+
+def _auto_expand(comp_code: int) -> float:
+    """Worst-case payload growth for _auto_bigtiff: LZW's 12-bit-code
+    ceiling on incompressible input, 1.0 for none/DEFLATE."""
+    return 1.5 if comp_code == _COMP_LZW else 1.0
 
 _SAMPLE_FORMATS = {
     np.dtype("uint8"): 1,
@@ -360,8 +368,15 @@ _COMPRESS_NAMES = {
 
 
 def _norm_compress(compress) -> int:
-    """Normalize the writers' ``compress`` argument (bool for
-    back-compat, or 'none'/'deflate'/'lzw') to the TIFF compression code."""
+    """Normalize the writers' ``compress`` argument (bool for back-compat,
+    'none'/'deflate'/'lzw', or an already-normalized TIFF code) to the
+    TIFF compression code. Integer codes are checked BEFORE the name
+    table: hash(1) == hash(True), so a plain dict lookup would silently
+    turn code 1 ('no compression') into DEFLATE."""
+    if isinstance(compress, int) and not isinstance(compress, bool):
+        if compress in (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE):
+            return compress
+        raise ValueError(f"unsupported TIFF compression code {compress}")
     key = compress.lower() if isinstance(compress, str) else compress
     if key not in _COMPRESS_NAMES:
         raise ValueError(
@@ -471,7 +486,8 @@ def write_geotiff(
         _check_predictor(predictor, image.dtype)
     if bigtiff is None:
         h, w, c = image.shape
-        bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize)
+        bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize,
+                                expand=_auto_expand(_norm_compress(compress)))
     _write_pages(path, [(image, transform, crs, nodata, compress, None, None)],
                  big=bigtiff, predictor=predictor)
 
@@ -529,7 +545,8 @@ def write_cog(
     if bigtiff is None:
         h, w, c = image.shape
         bigtiff = _auto_bigtiff(h, w, c, image.dtype.itemsize,
-                                tile_size=tile_size, overviews=True)
+                                tile_size=tile_size, overviews=True,
+                                expand=_auto_expand(_norm_compress(compress)))
     pages = [(image, transform, crs, nodata, compress, tile_size, None)]
     level = image
     n_levels = overview_levels
@@ -716,7 +733,8 @@ class GeoTiffStreamWriter(_RowStreamBase):
         if bigtiff is None:
             # auto: 64-bit offsets when the raster would overflow classic
             # TIFF's 4 GiB — decided up front (strips stream; no second pass)
-            bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize)
+            bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize,
+                                    expand=_auto_expand(comp_code))
         elif not bigtiff and comp_code == _COMP_NONE and _auto_bigtiff(
                 height, width, channels, dtype.itemsize):
             # forced classic + uncompressed: the overflow is knowable now —
@@ -794,11 +812,13 @@ class GeoTiffCogStreamWriter(_RowStreamBase):
             raise ValueError(f"unsupported sample dtype {dtype}")
         if tile_size % 16:
             raise ValueError("TIFF tile dimensions must be multiples of 16")
+        comp_code = _norm_compress(compress)
         if bigtiff is None:
             bigtiff = _auto_bigtiff(height, width, channels, dtype.itemsize,
-                                    tile_size=tile_size, overviews=True)
+                                    tile_size=tile_size, overviews=True,
+                                    expand=_auto_expand(comp_code))
         self._geo = (transform, crs, nodata)
-        self._comp_code = _norm_compress(compress)
+        self._comp_code = comp_code
         self._predictor = (_check_predictor(predictor, dtype)
                            if predictor != 1 else 1)
         self._ts = tile_size

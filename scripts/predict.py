@@ -246,6 +246,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = CONFIGS[args.config]
+    # predictor/dtype compatibility is knowable at parse time (the output
+    # dtype is --uint8's choice) — fail here, not after minutes of device
+    # inference inside the writer
+    if args.predictor == 2 and not args.uint8:
+        ap.error("--predictor 2 (integer differencing) needs --uint8 "
+                 "output; use --predictor 3 for float probabilities")
+    if args.predictor == 3 and args.uint8:
+        ap.error("--predictor 3 (float byte-plane differencing) applies "
+                 "to float output; use --predictor 2 with --uint8")
     comp_kw = dict(compress=args.compress, predictor=args.predictor)
     arch = args.model or ("siamese" if cfg.family == "siamese" else "unet")
     model, variables = load_model(cfg, args.ckpt, arch=arch,

@@ -762,3 +762,19 @@ def test_swath_codec_sweep_demo(tmp_path):
         # probabilities land mid-range (a tiny random-init model outputs
         # near-constant ~0.5; the pipeline contract is coverage + dtype)
         assert 1 <= pred.mean() <= 254
+
+
+def test_predict_predictor_dtype_validated_at_parse_time(tmp_path, capsys):
+    """--predictor/--uint8 mismatches fail in argparse, not after device
+    inference inside the writer."""
+    import predict as predict_cli
+
+    for argv in (
+        ["scene", "--ckpt", str(tmp_path), "--input", "x.npy",
+         "--compress", "lzw", "--predictor", "2"],          # float out
+        ["scene", "--ckpt", str(tmp_path), "--input", "x.npy",
+         "--uint8", "--predictor", "3"],                    # int out
+    ):
+        with pytest.raises(SystemExit):
+            predict_cli.main(argv)
+        assert "predictor" in capsys.readouterr().err

@@ -699,3 +699,26 @@ def test_libtiff_reads_our_lzw(tmp_path, rng):
         write_geotiff(p, u8[..., None], compress="lzw", predictor=predictor)
         back = np.asarray(Image.open(p))
         np.testing.assert_array_equal(back, u8)
+
+
+def test_norm_compress_codes_and_lzw_bigtiff_estimate():
+    """Review regressions: integer TIFF codes pass through _norm_compress
+    verbatim (hash(1)==hash(True) would otherwise turn code 1 into
+    DEFLATE), and the auto-BigTIFF estimate accounts for LZW's worst-case
+    ~1.5x expansion on incompressible data."""
+    from satellite_computervision_tpu.geo.geotiff import (
+        _auto_bigtiff,
+        _auto_expand,
+        _norm_compress,
+    )
+
+    assert _norm_compress(1) == 1
+    assert _norm_compress(5) == 5
+    assert _norm_compress(8) == 8
+    assert _norm_compress(True) == 8 and _norm_compress(False) == 1
+    with pytest.raises(ValueError):
+        _norm_compress(7)
+
+    # ~3.2 GiB raw: safe as classic under DEFLATE, not under LZW
+    assert not _auto_bigtiff(20000, 20000, 4, 2, expand=_auto_expand(8))
+    assert _auto_bigtiff(20000, 20000, 4, 2, expand=_auto_expand(5))
