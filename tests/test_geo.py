@@ -722,3 +722,49 @@ def test_norm_compress_codes_and_lzw_bigtiff_estimate():
     # ~3.2 GiB raw: safe as classic under DEFLATE, not under LZW
     assert not _auto_bigtiff(20000, 20000, 4, 2, expand=_auto_expand(8))
     assert _auto_bigtiff(20000, 20000, 4, 2, expand=_auto_expand(5))
+
+
+def test_codec_property_fuzz_roundtrip(tmp_path):
+    """Seeded property fuzz over the writable codec matrix: random dtype x
+    compression x predictor x shape x layout (striped/tiled/bigtiff)
+    combinations must round-trip bit-exactly, including windowed reads."""
+    from satellite_computervision_tpu.geo.geotiff import GeoTiffScene
+
+    rng = np.random.default_rng(42)
+    dtypes = [np.uint8, np.uint16, np.int16, np.int32, np.float32,
+              np.float64]
+    for trial in range(24):
+        dtype = np.dtype(dtypes[int(rng.integers(len(dtypes)))])
+        comp = ["none", "deflate", "lzw"][int(rng.integers(3))]
+        if dtype.kind == "f":
+            predictor = [1, 3][int(rng.integers(2))]
+        else:
+            predictor = [1, 2][int(rng.integers(2))]
+        if comp == "none":
+            predictor = 1
+        h = int(rng.integers(2, 90))
+        w = int(rng.integers(2, 90))
+        c = int(rng.integers(1, 5))
+        if dtype.kind == "f":
+            img = rng.normal(size=(h, w, c)).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            img = rng.integers(info.min, info.max, (h, w, c),
+                               dtype=np.int64).astype(dtype)
+        tiled = bool(rng.integers(2))
+        big = bool(rng.integers(2))
+        p = str(tmp_path / f"fuzz_{trial}.tif")
+        kw = dict(compress=comp, predictor=predictor, bigtiff=big)
+        if tiled:
+            write_cog(p, img, tile_size=32, overview_levels=0, **kw)
+        else:
+            write_geotiff(p, img, **kw)
+        back, _ = read_geotiff(p)
+        label = f"trial {trial}: {dtype} {comp} p{predictor} {h}x{w}x{c}"
+        np.testing.assert_array_equal(back, img, err_msg=label)
+        if h > 4 and w > 4:
+            sc = GeoTiffScene(p)
+            r0, c0 = int(rng.integers(h - 2)), int(rng.integers(w - 2))
+            np.testing.assert_array_equal(
+                sc[r0 : r0 + 2, c0 : c0 + 2], img[r0 : r0 + 2, c0 : c0 + 2],
+                err_msg=label + " window")
