@@ -488,6 +488,40 @@ def stage_extras(model, variables, staged, ctx):
             _sub_floor(_timed_scalar(run, staged), floor) * 1e3, 1)
 
 
+def stage_codec():
+    """Host-side geo-codec throughput: native LZW encode/decode MB/s on a
+    predictor-2-differenced satellite-like uint8 plane — the hot loop of
+    the streaming COG writer/reader (geo/geotiff.py; native scv_lzw_*).
+    Complements the end-to-end swath demo (bench.py --swath,
+    runs/swath_codec_sweep.jsonl) with a number the driver captures every
+    round. Host-only: no device programs, ~1 s."""
+    from satellite_computervision_tpu import native
+
+    if native.get_lib() is None:
+        return
+    rng = np.random.default_rng(0)
+    plane = rng.integers(0, 7, (2048, 4096), dtype=np.uint8).cumsum(
+        axis=1).astype(np.uint8)
+    diff = plane.copy()
+    diff[:, 1:] = plane[:, 1:] - plane[:, :-1]
+    raw = diff.tobytes()
+    enc = native.lzw_encode(raw)
+    if enc is None or native.lzw_decode(enc, len(raw)) != raw:
+        return
+    n, mb = 3, len(raw) / 1e6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        native.lzw_encode(raw)
+    enc_s = (time.perf_counter() - t0) / n
+    t0 = time.perf_counter()
+    for _ in range(n):
+        native.lzw_decode(enc, len(raw))
+    dec_s = (time.perf_counter() - t0) / n
+    RESULT["lzw_enc_mb_s"] = round(mb / enc_s, 1)
+    RESULT["lzw_dec_mb_s"] = round(mb / dec_s, 1)
+    RESULT["lzw_ratio"] = round(len(raw) / len(enc), 2)
+
+
 def main():
     budget = float(os.environ.get("SCV_BENCH_BUDGET", "1200"))
     deadline = time.monotonic() + budget
@@ -511,6 +545,7 @@ def main():
          lambda: stage_device_ratios(model, variables, staged, ctx)),
         ("train", 90, lambda: stage_train(ctx)),
         ("extras", 60, lambda: stage_extras(model, variables, staged, ctx)),
+        ("codec", 10, stage_codec),
     ]
     for name, est, thunk in stages:
         if deadline - time.monotonic() < est:

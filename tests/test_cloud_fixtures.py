@@ -499,3 +499,96 @@ def test_ee_wait_for_task_polls_until_failure(fake_ee):
         _time.sleep = orig_sleep
     assert task.polls == 4  # 3 active polls + the final check
     assert naps == [30, 30, 30] and len(logged) == 3
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-2 fixture depth: the remaining EE expression builders
+# (VERDICT r4 "keep accruing recorded-fixture depth" on the live-service
+# layer) — graph-asserted against the reference's server-side math.
+# ---------------------------------------------------------------------------
+def test_ee_sentinel2toa_scales_and_keeps_metadata(fake_ee):
+    """DN -> TOA (utils/ee_tools.py:90-108): all 13 reflectance bands
+    /10000, solar azimuth/zenith copied from image metadata, QA60 kept as
+    the leading band so downstream basic_qa still finds it."""
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    ee_mod.sentinel2toa(img)
+    ops = _ops(trace)
+    bands13 = ["B1", "B2", "B3", "B4", "B5", "B6", "B7", "B8", "B8A",
+               "B9", "B10", "B11", "B12"]
+    assert ("select", (bands13,)) in ops
+    assert ("divide", (10000,)) in ops
+    assert ("get", ("MEAN_SOLAR_AZIMUTH_ANGLE",)) in ops
+    assert ("get", ("MEAN_SOLAR_ZENITH_ANGLE",)) in ops
+    assert ("select", (["QA60"],)) in ops
+    # both metadata values are re-attached via set(...)
+    sets = [args[0] for op, args in ops if op == "set"]
+    assert sets == ["solar_azimuth", "solar_zenith"]
+    assert any(op == "addBands" for op, _ in ops)
+
+
+def test_ee_rescale_expression_linear_stretch(fake_ee):
+    """Expression + linear stretch (utils/ee_tools.py:110-113):
+    (expr - lo) / (hi - lo) with the image bound as `img`."""
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    ee_mod.rescale_expression(img, "img.B2", (0.1, 0.5))
+    full = [(op, args) for _, op, args, _, _ in trace]
+    assert ("expression", ("img.B2", {"img": img})) in full
+    assert ("subtract", (0.1,)) in full
+    # denominator is the PRE-COMPUTED span, one divide (not two)
+    divides = [args for op, args in full if op == "divide"]
+    assert len(divides) == 1 and divides[0][0] == pytest.approx(0.4)
+
+
+def test_ee_normalize_min_max(fake_ee):
+    """Min-max scaling (utils/ee_tools.py:39-50): (img - min)/(max - min),
+    all three operands EE images (pixelwise, not scalars)."""
+    ee_mod, trace = fake_ee
+    img, mx, mn = (EENode(trace, n) for n in ("img", "max", "min"))
+    ee_mod.normalize(img, mx, mn)
+    recv = [(r, op) for r, op, _, _, _ in trace]
+    # img.subtract(min) ... and max.subtract(min) for the span
+    assert ("img", "subtract") in recv and ("max", "subtract") in recv
+    args = [a for _, op, a, _, _ in trace if op == "subtract"]
+    assert all(x[0] is mn for x in args)
+
+
+def test_ee_standardize_reduce_region_moments(fake_ee):
+    """Per-band z-scores (utils/ee_tools.py:52-70): mean and stdDev via
+    reduceRegion at the given scale, broadcast back with toImage, then
+    (img - mean) / sd."""
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    ee_mod.standardize(img, scale=300)
+    ops_k = [(op, kwargs) for _, op, _, kwargs, _ in trace]
+    reduces = [k for op, k in ops_k if op == "reduceRegion"]
+    assert len(reduces) == 2 and all(k["scale"] == 300 for k in reduces)
+    names = [op for _, op, _, _, _ in trace]
+    assert names.count("toImage") == 2
+    # the stdDev broadcast preserves band order via bandNames()
+    assert "bandNames" in names
+    assert "subtract" in names and "divide" in names
+    # both reducer factories were built from ee.Reducer
+    reducer_ops = [op for r, op, _, _, _ in trace if r == "Reducer"]
+    assert reducer_ops == ["mean", "stdDev"]
+
+
+def test_ee_lda_score_weighted_band_sum(fake_ee):
+    """LDA band combination (utils/ee_tools.py:73-88): per-band
+    coefficients from a Dictionary.fromLists, multiplied in, intercept
+    appended as a constant band, reduced with Reducer.sum()."""
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    bands = ["B2", "B3", "B4"]
+    coefs = [0.5, -1.25, 2.0]
+    ee_mod.lda_score(img, 0.75, bands, coefs)
+    full = [(op, args) for _, op, args, _, _ in trace]
+    assert ("select", (bands,)) in full
+    assert ("fromLists", (bands, coefs)) in full
+    assert ("toImage", (bands,)) in full
+    assert ("Image", (0.75,)) in full
+    names = [op for _, op, _, _, _ in trace]
+    assert "multiply" in names and "addBands" in names
+    assert ("Reducer", "sum") in [(r, op) for r, op, _, _, _ in trace]
+    assert "reduce" in names
