@@ -592,3 +592,20 @@ def test_ee_lda_score_weighted_band_sum(fake_ee):
     assert "multiply" in names and "addBands" in names
     assert ("Reducer", "sum") in [(r, op) for r, op, _, _, _ in trace]
     assert "reduce" in names
+
+
+def test_ee_mask_l8_sr_pixel_qa_bits(fake_ee):
+    """Landsat-8 SR pixel_qa mask (utils/ee_tools.py:183-195): shadow
+    (bit 3 = 8) and cloud (bit 5 = 32) both required clear, combined with
+    And, applied via updateMask — completing graph coverage of every EE
+    builder in cloud/ee.py."""
+    ee_mod, trace = fake_ee
+    img = EENode(trace, "img")
+    ee_mod.mask_l8_sr(img)
+    ops = _ops(trace)
+    assert ("select", ("pixel_qa",)) in ops
+    assert ("bitwiseAnd", (8,)) in ops
+    assert ("bitwiseAnd", (32,)) in ops
+    assert ops.count(("eq", (0,))) == 2
+    names = [op for op, _ in ops]
+    assert "And" in names and "updateMask" in names
