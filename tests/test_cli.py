@@ -778,3 +778,93 @@ def test_predict_predictor_dtype_validated_at_parse_time(tmp_path, capsys):
         with pytest.raises(SystemExit):
             predict_cli.main(argv)
         assert "predictor" in capsys.readouterr().err
+
+
+def test_export_h5_cli(tmp_path, monkeypatch):
+    """Train -> export -> the .h5 reads back bitwise and scores through
+    evaluate --h5: the full hand-back workflow
+    (scripts/export.py + train/keras_export.py), inverse of the
+    reference's save_weights/load_weights channel
+    (utils/model_tools.py:1178-1269)."""
+    import dataclasses
+    import os
+
+    import jax
+
+    import evaluate as evaluate_cli
+    import export as export_cli
+    import predict as predict_cli
+    import train as train_cli
+
+    from satellite_computervision_tpu.train import zoo
+    from satellite_computervision_tpu.train.config import SOLAR_CONFIG
+
+    small = dataclasses.replace(
+        SOLAR_CONFIG, kernel_size=64, kernel_buffer=32, batch_size=4,
+        serve_kernel=64, serve_buffer=32, serve_batch=4,
+    )
+    for cli in (train_cli, predict_cli, evaluate_cli, export_cli):
+        monkeypatch.setitem(cli.CONFIGS, "solar", small)
+
+    fam = zoo.FAMILIES["unet"]
+    monkeypatch.setitem(
+        zoo.FAMILIES, "unet",
+        dataclasses.replace(
+            fam, build=lambda cfg, **kw: fam.build(
+                cfg, filters=(4, 8), factors=(2, 2), **kw
+            )
+        ),
+    )
+    import satellite_computervision_tpu.models as models
+
+    orig_unet = models.UNet
+
+    def small_unet(**kw):
+        kw.setdefault("filters", (4, 8))
+        kw.setdefault("factors", (2, 2))
+        return orig_unet(**kw)
+
+    monkeypatch.setattr(predict_cli, "UNet", small_unet)
+
+    chips = tmp_path / "train.tfrecord"
+    _write_solar_like_chips(chips)
+    ckpt = str(tmp_path / "run")
+    # --no-s2d: only the plain stem maps onto the reference architecture
+    train_cli.main([
+        "--config", "solar", "--train", str(chips), "--eval", str(chips),
+        "--ckpt", ckpt, "--epochs", "1", "--steps-per-epoch", "2",
+        "--batch-size", "4", "--no-s2d",
+    ])
+
+    h5 = str(tmp_path / "solar_export.h5")
+    export_cli.main(["--config", "solar", "--ckpt", ckpt, "--out", h5])
+    assert os.path.exists(h5)
+
+    # bitwise: the exported file reads back as the checkpoint's tree
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_unet_h5,
+    )
+
+    model, variables = predict_cli.load_model(
+        small, ckpt, bf16=False, space_to_depth=False
+    )
+    got_p, got_s = load_keras_unet_h5(
+        h5, variables["params"], variables["batch_stats"]
+    )
+    for want, got in (
+        (variables["params"], got_p), (variables["batch_stats"], got_s),
+    ):
+        fw = jax.tree_util.tree_leaves(want)
+        fg = jax.tree_util.tree_leaves(got)
+        assert len(fw) == len(fg)
+        for a, b in zip(fw, fg):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the exported artifact scores through the published-weights path
+    report_path = str(tmp_path / "export_report.json")
+    evaluate_cli.main([
+        "--h5", h5, "--config", "solar", "--eval", str(chips),
+        "--batch-size", "4", "--out", report_path,
+    ])
+    counts = np.asarray(json.loads(open(report_path).read())["counts"])
+    assert counts.shape == (2, 2) and counts.sum() > 0
