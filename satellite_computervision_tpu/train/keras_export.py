@@ -28,7 +28,12 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["export_keras_unet_h5", "export_keras_unet_h5_bytes"]
+__all__ = [
+    "export_keras_unet_h5",
+    "export_keras_unet_h5_bytes",
+    "export_keras_siamese_h5",
+    "export_keras_siamese_h5_bytes",
+]
 
 
 def _np(a) -> np.ndarray:
@@ -173,26 +178,34 @@ def export_keras_unet_h5(params, batch_stats, path_or_buf) -> None:
     ))
 
     for dec in dec_names:
-        p, s = params[dec], batch_stats[dec]
-        if "affine_0_scale" in p or "BatchNorm_0" not in p:
-            raise ValueError(
-                f"{dec}: folded-BN serving tree — export the training "
-                "checkpoint instead"
-            )
-        ct = names.next("conv2d_transpose")
-        layers.append((ct, _conv_transpose_weights(ct, p["ConvTranspose_0"])))
-        for unit in range(3):  # bn, then (conv, bn) x2 per decoder level
-            if unit > 0:
-                conv = names.next("conv2d")
-                layers.append((conv, _conv_weights(conv, p[f"Conv_{unit - 1}"])))
-            bn = names.next("batch_normalization")
-            bn_train, bn_stats = _bn_weights(
-                bn, p[f"BatchNorm_{unit}"], s[f"BatchNorm_{unit}"]
-            )
-            layers.append((bn, bn_train + bn_stats))
+        _append_decoder_layers(layers, names, dec, params[dec], batch_stats[dec])
 
     layers.append(("logits", _conv_weights("logits", params["head"])))
+    _write_h5(layers, path_or_buf)
 
+
+def _append_decoder_layers(layers, names: _Names, dec: str, p, s) -> None:
+    """One functional decoder level (utils/model_tools.py:288-318) as flat
+    Keras layers: conv2d_transpose, bn, (conv, bn) x2."""
+    if "affine_0_scale" in p or "BatchNorm_0" not in p:
+        raise ValueError(
+            f"{dec}: folded-BN serving tree — export the training "
+            "checkpoint instead"
+        )
+    ct = names.next("conv2d_transpose")
+    layers.append((ct, _conv_transpose_weights(ct, p["ConvTranspose_0"])))
+    for unit in range(3):  # bn, then (conv, bn) x2 per decoder level
+        if unit > 0:
+            conv = names.next("conv2d")
+            layers.append((conv, _conv_weights(conv, p[f"Conv_{unit - 1}"])))
+        bn = names.next("batch_normalization")
+        bn_train, bn_stats = _bn_weights(
+            bn, p[f"BatchNorm_{unit}"], s[f"BatchNorm_{unit}"]
+        )
+        layers.append((bn, bn_train + bn_stats))
+
+
+def _write_h5(layers, path_or_buf) -> None:
     import h5py
 
     with h5py.File(path_or_buf, "w") as f:
@@ -206,6 +219,100 @@ def export_keras_unet_h5(params, batch_stats, path_or_buf) -> None:
             g.attrs["weight_names"] = np.array([w.encode() for w, _ in weights])
             for wname, arr in weights:
                 g.create_dataset(wname, data=arr)
+
+
+def export_keras_siamese_h5(params, batch_stats, path_or_buf) -> None:
+    """Write a ``models.SiameseUNet`` params/batch_stats pair as a
+    reference-layout Keras ``.h5`` weights file.
+
+    Reference builder: get_siamese_layers / make_siamese_unet
+    (utils/model_tools.py:576-663). Layer order mirrors the functional
+    model's topology: shared ``encoder_{i}`` blocks, the shared ASPP
+    Layer, then flat decoder levels and the sigmoid ``probs`` head. The
+    ASPP Layer's weights follow Keras sublayer *creation* order — 1x1,
+    fuse 1x1 (``cba3``; its twin ``cba2`` is never called so contributes
+    no weights), then the dilated 3x3s (utils/model_tools.py:533-574) —
+    whereas the flax ``blocks.ASPP`` orders them 1x1, d3, d6, d12, fuse;
+    the reorder here is the inverse of load_keras_siamese_h5's
+    shape-based assignment.
+    """
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    enc_names = sorted(
+        (k for k in params if k.startswith("encoder_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    dec_names = sorted(
+        (k for k in params if k.startswith("DecoderBlock_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if not enc_names or "aspp" not in params or "head" not in params:
+        raise ValueError(
+            "not a SiameseUNet variable tree (need encoder_*, aspp, head)"
+        )
+    if len(enc_names) != len(dec_names):
+        raise ValueError(
+            f"{len(enc_names)} encoder vs {len(dec_names)} decoder blocks"
+        )
+
+    names = _Names()
+    layers: List[Tuple[str, List[Tuple[str, np.ndarray]]]] = []
+
+    for enc in enc_names:
+        lname = names.next("encoder_block")
+        layers.append((
+            lname,
+            _cba_block_weights(
+                lname, names,
+                params[enc]["ConvBlock_0"],
+                batch_stats.get(enc, {}).get("ConvBlock_0", {}),
+            ),
+        ))
+
+    aspp_p = params["aspp"]
+    aspp_s = batch_stats.get("aspp", {})
+    n_cba = len([k for k in aspp_p if k.startswith("ConvBNAct_")])
+    if n_cba != 5:
+        raise ValueError(
+            f"aspp: expected 5 ConvBNAct_* subtrees, got {n_cba} "
+            "(folded trees are not exportable)"
+        )
+    trainable: List[Tuple[str, np.ndarray]] = []
+    stats: List[Tuple[str, np.ndarray]] = []
+    # flax order 0=1x1, 1..3=dilated 3x3s, 4=fuse -> reference creation
+    # order 1x1, fuse, d3, d6, d12
+    for idx in (0, 4, 1, 2, 3):
+        sub_p = aspp_p[f"ConvBNAct_{idx}"]
+        if "BatchNorm_0" not in sub_p:
+            raise ValueError(
+                f"aspp/ConvBNAct_{idx}: no BatchNorm_0 — folded trees are "
+                "not exportable; export the training checkpoint"
+            )
+        cba = names.next("conv_batch_act")
+        conv = names.next("conv2d")
+        bn = names.next("batch_normalization")
+        pfx = f"ASPP/{cba}"
+        trainable.extend(_conv_weights(f"{pfx}/{conv}", sub_p["Conv_0"]))
+        bn_train, bn_stats = _bn_weights(
+            f"{pfx}/{bn}", sub_p["BatchNorm_0"],
+            aspp_s[f"ConvBNAct_{idx}"]["BatchNorm_0"],
+        )
+        trainable.extend(bn_train)
+        stats.extend(bn_stats)
+    layers.append(("ASPP", trainable + stats))
+
+    for dec in dec_names:
+        _append_decoder_layers(layers, names, dec, params[dec], batch_stats[dec])
+
+    layers.append(("probs", _conv_weights("probs", params["head"])))
+    _write_h5(layers, path_or_buf)
+
+
+def export_keras_siamese_h5_bytes(params, batch_stats) -> bytes:
+    """In-memory variant of :func:`export_keras_siamese_h5`."""
+    buf = io.BytesIO()
+    export_keras_siamese_h5(params, batch_stats, buf)
+    return buf.getvalue()
 
 
 def export_keras_unet_h5_bytes(params, batch_stats) -> bytes:

@@ -32,10 +32,10 @@ from satellite_computervision_tpu.train.keras_import import (
 RUN_TF = os.environ.get("SCV_TF_PARITY") == "1"
 
 
-def _random_variables(model, x, seed=3):
+def _random_variables(model, *inputs, seed=3):
     """Init then randomize every leaf (init BN stats are the constant
     mean=0/var=1, which would make a roundtrip test vacuous)."""
-    variables = model.init(jax.random.key(0), x)
+    variables = model.init(jax.random.key(0), *inputs)
     g = np.random.default_rng(seed)
 
     def rand(leaf):
@@ -140,6 +140,122 @@ def test_export_rejects_folded_tree(tmp_path):
     _, folded = fold_unet_variables(model, variables)
     with pytest.raises(ValueError, match="fold"):
         export_keras_unet_h5(folded["params"], {}, str(tmp_path / "x.h5"))
+
+
+@pytest.mark.parametrize("convs_per_block", [1, 2])
+def test_siamese_export_import_roundtrip_bitwise(tmp_path, convs_per_block):
+    from satellite_computervision_tpu.models import SiameseUNet
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_siamese_h5,
+        export_keras_siamese_h5_bytes,
+    )
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_siamese_h5,
+    )
+
+    model = SiameseUNet(
+        filters=(4, 8), factors=(2, 2), convs_per_block=convs_per_block
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    params, stats = _random_variables(model, x, x)
+
+    path = str(tmp_path / "siamese.h5")
+    export_keras_siamese_h5(params, stats, path)
+    fresh = model.init(jax.random.key(1), x, x)
+    got_p, got_s = load_keras_siamese_h5(
+        path, fresh["params"], fresh["batch_stats"]
+    )
+    _assert_trees_equal(got_p, params)
+    _assert_trees_equal(got_s, stats)
+
+    # bytes variant roundtrips identically
+    blob = export_keras_siamese_h5_bytes(params, stats)
+    got_p2, got_s2 = load_keras_siamese_h5(
+        blob, fresh["params"], fresh["batch_stats"]
+    )
+    _assert_trees_equal(got_p2, params)
+
+
+def test_siamese_export_keeps_forward_identical(tmp_path):
+    from satellite_computervision_tpu.models import SiameseUNet
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_siamese_h5,
+    )
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_siamese_h5,
+    )
+
+    model = SiameseUNet(filters=(4, 8), factors=(2, 2))
+    g = np.random.default_rng(7)
+    xb = jnp.asarray(g.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    xa = jnp.asarray(g.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    params, stats = _random_variables(model, xb, xa)
+    want = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, xb, xa)["probs"]
+    )
+
+    path = str(tmp_path / "siamese.h5")
+    export_keras_siamese_h5(params, stats, path)
+    fresh = model.init(jax.random.key(1), xb, xa)
+    got_p, got_s = load_keras_siamese_h5(
+        path, fresh["params"], fresh["batch_stats"]
+    )
+    got = np.asarray(
+        model.apply({"params": got_p, "batch_stats": got_s}, xb, xa)["probs"]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_siamese_export_rejects_non_siamese_tree(tmp_path):
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_siamese_h5,
+    )
+
+    model = UNet(n_classes=1, filters=(4, 8), factors=(2, 2), head="sigmoid")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    with pytest.raises(ValueError, match="SiameseUNet"):
+        export_keras_siamese_h5(
+            variables["params"], variables["batch_stats"],
+            str(tmp_path / "x.h5"),
+        )
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_siamese_load_weights_exact_forward_parity(tmp_path):
+    """Hand-back for change detection: a reference-architecture tf.keras
+    Siamese U-Net `load_weights` the exported .h5 and must reproduce this
+    framework's forward outputs."""
+    import tensorflow as tf  # noqa: F401
+
+    from test_keras_import import build_ref_siamese_tf
+
+    from satellite_computervision_tpu.models import SiameseUNet
+
+    bands, filters, factors = 4, (4, 8), (2, 2)
+    m = build_ref_siamese_tf(bands, filters, factors)
+
+    model = SiameseUNet(filters=filters, factors=factors, convs_per_block=1)
+    g = np.random.default_rng(13)
+    xa = (g.normal(size=(2, 32, 32, bands)) * 0.5).astype(np.float32)
+    xb = (g.normal(size=(2, 32, 32, bands)) * 0.5).astype(np.float32)
+    params, stats = _random_variables(model, jnp.asarray(xb), jnp.asarray(xa))
+    want = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(xb), jnp.asarray(xa),
+        )["probs"]
+    )
+
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_siamese_h5,
+    )
+
+    path = str(tmp_path / "siamese_export.h5")
+    export_keras_siamese_h5(params, stats, path)
+    m.load_weights(path)
+    # reference input order: input_a = after (T2), input_b = before (T1)
+    got = m.predict([xa, xb], verbose=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")

@@ -328,13 +328,12 @@ def test_tf_multiclass_exact_forward_parity(tmp_path, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
-def test_tf_siamese_exact_forward_parity(tmp_path, rng):
-    """Reference Siamese U-Net (shared encoders + shared ASPP,
-    utils/model_tools.py:576-663, with the conv_block double-call bug) in
-    tf.keras -> .h5 -> load_keras_siamese_h5 -> identical forward output."""
+def build_ref_siamese_tf(bands, filters, factors):
+    """The reference Siamese U-Net (shared encoders + shared ASPP,
+    utils/model_tools.py:576-663, conv_block double-call bug included) as
+    a tf.keras Model — shared with test_keras_export for the hand-back
+    direction. Requires TF already importable."""
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    import tensorflow as tf
     from tensorflow.keras import layers, models
 
     class conv_batch_act(layers.Layer):
@@ -397,7 +396,6 @@ def test_tf_siamese_exact_forward_parity(tmp_path, rng):
             d = layers.Activation("relu")(d)
         return d
 
-    bands, filters, factors = 4, (4, 8), (2, 2)
     input_a = layers.Input((None, None, bands))
     input_b = layers.Input((None, None, bands))
     pooled_a, pooled_b = input_a, input_b
@@ -413,7 +411,17 @@ def test_tf_siamese_exact_forward_parity(tmp_path, rng):
     for j in range(len(filters) - 1, -1, -1):
         d = decoder_block(d, net[j], filters[j], (factors[j], factors[j]))
     probs = layers.Conv2D(1, (1, 1), activation="sigmoid", name="probs")(d)
-    m = models.Model(inputs=[input_a, input_b], outputs=[probs])
+    return models.Model(inputs=[input_a, input_b], outputs=[probs])
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_siamese_exact_forward_parity(tmp_path, rng):
+    """Reference Siamese U-Net in tf.keras -> .h5 -> load_keras_siamese_h5
+    -> identical forward output."""
+    import tensorflow as tf  # noqa: F401
+
+    bands, filters, factors = 4, (4, 8), (2, 2)
+    m = build_ref_siamese_tf(bands, filters, factors)
 
     g = np.random.default_rng(11)
     for v in m.weights:
