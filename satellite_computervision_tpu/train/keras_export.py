@@ -1,7 +1,9 @@
-"""Export U-Net weights to the reference's Keras ``.h5`` layout.
+"""Export trained weights to the reference's Keras ``.h5`` layout.
 
-The inverse of :mod:`train.keras_import`: write a flax ``models.UNet``
-params/batch_stats pair as a Keras-2 ``save_weights``-format HDF5 file that
+The inverse of :mod:`train.keras_import`, for every importable family:
+U-Net, Siamese change-detection, LSTM, LSTM-autoencoder and hybrid.
+Each exporter writes a flax params/batch_stats pair as a Keras-2
+``save_weights``-format HDF5 file that
 
 - :func:`train.keras_import.load_keras_unet_h5` reads back bit-for-bit
   (pure-numpy roundtrip, pinned in tests/test_keras_export.py), and
@@ -33,6 +35,9 @@ __all__ = [
     "export_keras_unet_h5_bytes",
     "export_keras_siamese_h5",
     "export_keras_siamese_h5_bytes",
+    "export_keras_lstm_h5",
+    "export_keras_lstm_autoencoder_h5",
+    "export_keras_hybrid_h5",
 ]
 
 
@@ -313,6 +318,160 @@ def export_keras_siamese_h5_bytes(params, batch_stats) -> bytes:
     buf = io.BytesIO()
     export_keras_siamese_h5(params, batch_stats, buf)
     return buf.getvalue()
+
+
+def _convlstm_weights(parent: str, p_tree) -> List[Tuple[str, np.ndarray]]:
+    """Inverse of keras_import._assign_convlstm: our cell's input/recurrent
+    conv pair as one Keras ConvLSTM2D unit. The cell adds the unit forget
+    bias (+1) at runtime while Keras stores it in the bias tensor, so the
+    forget quarter is shifted up by 1 on export."""
+    cell = p_tree["cell"]
+    rk = _np(cell["recurrent_conv"]["kernel"])
+    feats = rk.shape[2]
+    bias = _np(cell["input_conv"]["bias"]).copy()
+    bias[feats : 2 * feats] += 1.0
+    return [
+        (f"{parent}/kernel:0", _np(cell["input_conv"]["kernel"])),
+        (f"{parent}/recurrent_kernel:0", rk),
+        (f"{parent}/bias:0", bias),
+    ]
+
+
+def _lstm_stack_layers(p, s):
+    """build_lstm_layers / build_lstm_layers2 as the reference's four
+    named layers (utils/model_tools.py:666-771): conv_lstm, batch_norm,
+    dilated_conv_lstm, batch_norm2."""
+    layer_names = (
+        ("conv_lstm", "batch_norm"), ("dilated_conv_lstm", "batch_norm2"),
+    )
+    layers: List[Tuple[str, List[Tuple[str, np.ndarray]]]] = []
+    for i, (lstm_name, bn_name) in enumerate(layer_names):
+        if f"ConvLSTM_{i}" not in p or f"BatchNorm_{i}" not in p:
+            raise ValueError(
+                f"not an LSTM stack tree (need ConvLSTM_{i}/BatchNorm_{i})"
+            )
+        layers.append((lstm_name, _convlstm_weights(lstm_name, p[f"ConvLSTM_{i}"])))
+        bn_train, bn_stats = _bn_weights(
+            bn_name, p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"]
+        )
+        layers.append((bn_name, bn_train + bn_stats))
+    return layers
+
+
+def export_keras_lstm_h5(params, batch_stats, path_or_buf) -> None:
+    """Write a ``models.LSTMModel`` params/batch_stats pair as a
+    reference-layout Keras ``.h5`` (get_lstm_model,
+    utils/model_tools.py:773-808): the named ConvLSTM stack then the 1x1
+    head conv under the capped ReLU."""
+    if "LSTMStack_0" not in params or "Conv_0" not in params:
+        raise ValueError(
+            "not an LSTMModel variable tree (need LSTMStack_0, Conv_0)"
+        )
+    layers = _lstm_stack_layers(
+        params["LSTMStack_0"], batch_stats["LSTMStack_0"]
+    )
+    layers.append(("conv2d", _conv_weights("conv2d", params["Conv_0"])))
+    _write_h5(layers, path_or_buf)
+
+
+def export_keras_lstm_autoencoder_h5(params, batch_stats, path_or_buf) -> None:
+    """Write a ``models.LSTMAutoencoder`` pair as a reference-layout Keras
+    ``.h5`` (get_lstm_autoencoder, utils/model_tools.py:810-872): the
+    residual encoder stack, the repeated-state ``lstm_decoder``, the
+    TimeDistributed ``temporal_dense`` head and the ``single_dense``
+    next-step head over encoded‖sincos."""
+    need = {"LSTMStack2_0", "lstm_decoder", "temporal_dense", "single_dense"}
+    missing = need - set(params)
+    if missing:
+        raise ValueError(
+            f"not an LSTMAutoencoder variable tree (missing {sorted(missing)})"
+        )
+    layers = _lstm_stack_layers(
+        params["LSTMStack2_0"], batch_stats["LSTMStack2_0"]
+    )
+    layers.append(
+        ("lstm_decoder", _convlstm_weights("lstm_decoder", params["lstm_decoder"]))
+    )
+    # the reference wraps temporal_dense in TimeDistributed; weights live
+    # under the wrapper layer with the inner conv's variable paths
+    layers.append(
+        ("time_distributed", _conv_weights("temporal_dense", params["temporal_dense"]))
+    )
+    layers.append(
+        ("single_dense", _conv_weights("single_dense", params["single_dense"]))
+    )
+    _write_h5(layers, path_or_buf)
+
+
+def export_keras_hybrid_h5(params, batch_stats, path_or_buf) -> None:
+    """Write a ``models.HybridUNetLSTM`` pair as a reference-layout Keras
+    ``.h5`` (get_hybrid_model, utils/model_tools.py:874-920): the U-Net
+    trunk (encoder blocks, center conv_block, functional decoder levels),
+    the 1x1 ``unet_dense``, the four named LSTM-stack layers, the 1x1
+    ``lstm_dense`` and the fusing ``probabilities`` head. The unet dense
+    conv is numbered before the lstm dense (Keras' global auto-name
+    counter mirrors the builder's creation order), which is what
+    load_keras_hybrid_h5 falls back on when both read equal widths."""
+    need = {"unet", "LSTMStack_0", "unet_dense", "lstm_dense", "probabilities"}
+    missing = need - set(params)
+    if missing:
+        raise ValueError(
+            f"not a HybridUNetLSTM variable tree (missing {sorted(missing)})"
+        )
+    unet_p = dict(params["unet"])
+    unet_s = dict(batch_stats["unet"])
+    if "stem_upsample" in unet_p:
+        raise ValueError(
+            "space_to_depth trunks have no reference-Keras equivalent — "
+            "train with space_to_depth=False to produce exportable weights"
+        )
+    enc_names = sorted(
+        (k for k in unet_p if k.startswith("EncoderBlock_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    dec_names = sorted(
+        (k for k in unet_p if k.startswith("DecoderBlock_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if not enc_names or "ConvBlock_0" not in unet_p:
+        raise ValueError("hybrid unet trunk: need EncoderBlock_*, ConvBlock_0")
+    if len(enc_names) != len(dec_names):
+        raise ValueError(
+            f"{len(enc_names)} encoder vs {len(dec_names)} decoder blocks"
+        )
+
+    names = _Names()
+    layers: List[Tuple[str, List[Tuple[str, np.ndarray]]]] = []
+    for enc in enc_names:
+        lname = names.next("encoder_block")
+        layers.append((
+            lname,
+            _cba_block_weights(
+                lname, names,
+                unet_p[enc]["ConvBlock_0"],
+                unet_s.get(enc, {}).get("ConvBlock_0", {}),
+            ),
+        ))
+    center_name = names.next("conv_block")
+    layers.append((
+        center_name,
+        _cba_block_weights(
+            center_name, names, unet_p["ConvBlock_0"],
+            unet_s.get("ConvBlock_0", {}),
+        ),
+    ))
+    for dec in dec_names:
+        _append_decoder_layers(layers, names, dec, unet_p[dec], unet_s[dec])
+
+    unet_dense = names.next("conv2d")
+    layers.append((unet_dense, _conv_weights(unet_dense, params["unet_dense"])))
+    layers.extend(
+        _lstm_stack_layers(params["LSTMStack_0"], batch_stats["LSTMStack_0"])
+    )
+    lstm_dense = names.next("conv2d")
+    layers.append((lstm_dense, _conv_weights(lstm_dense, params["lstm_dense"])))
+    layers.append(("probabilities", _conv_weights("probabilities", params["probabilities"])))
+    _write_h5(layers, path_or_buf)
 
 
 def export_keras_unet_h5_bytes(params, batch_stats) -> bytes:

@@ -220,6 +220,196 @@ def test_siamese_export_rejects_non_siamese_tree(tmp_path):
         )
 
 
+def _assert_trees_close(a, b, atol=3e-7):
+    """Tree equality up to float rounding — the ConvLSTM forget-gate bias
+    crosses the Keras(+1-stored) / cell(+1-at-runtime) convention on
+    every roundtrip, which costs an ULP."""
+    fa, ta = jax.tree_util.tree_flatten_with_path(a)
+    fb, tb = jax.tree_util.tree_flatten_with_path(b)
+    assert ta == tb
+    for (pa, la), (_, lb) in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=atol,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_lstm_export_import_roundtrip(tmp_path):
+    from satellite_computervision_tpu.models.convlstm import LSTMModel
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_lstm_h5,
+    )
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_lstm_h5,
+    )
+
+    model = LSTMModel(n_classes=1, features=4)
+    x = jnp.zeros((1, 3, 8, 8, 2))
+    params, stats = _random_variables(model, x)
+
+    path = str(tmp_path / "lstm.h5")
+    export_keras_lstm_h5(params, stats, path)
+    fresh = model.init(jax.random.key(1), x)
+    got_p, got_s = load_keras_lstm_h5(
+        path, fresh["params"], fresh["batch_stats"]
+    )
+    _assert_trees_close(got_p, params)
+    _assert_trees_equal(got_s, stats)
+
+
+def test_lstm_autoencoder_export_import_roundtrip(tmp_path):
+    from satellite_computervision_tpu.models.convlstm import LSTMAutoencoder
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_lstm_autoencoder_h5,
+    )
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_lstm_autoencoder_h5,
+    )
+
+    model = LSTMAutoencoder(n_classes=1, n_time=3, features=4)
+    x = jnp.zeros((1, 3, 8, 8, 2))
+    sincos = jnp.zeros((1, 8, 8, 2))
+    params, stats = _random_variables(model, x, sincos)
+
+    path = str(tmp_path / "lstm_ae.h5")
+    export_keras_lstm_autoencoder_h5(params, stats, path)
+    fresh = model.init(jax.random.key(1), x, sincos)
+    got_p, got_s = load_keras_lstm_autoencoder_h5(
+        path, fresh["params"], fresh["batch_stats"]
+    )
+    _assert_trees_close(got_p, params)
+    _assert_trees_equal(got_s, stats)
+
+
+@pytest.mark.parametrize("equal_dense_widths", [True, False])
+def test_hybrid_export_import_roundtrip(tmp_path, equal_dense_widths):
+    """Hybrid roundtrip with the dense 1x1s both shape-distinguishable
+    (f0 != lstm features) and ambiguous (equal widths -> creation-order
+    fallback in load_keras_hybrid_h5)."""
+    from satellite_computervision_tpu.models.hybrid import HybridUNetLSTM
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_hybrid_h5,
+    )
+    from satellite_computervision_tpu.train.keras_import import (
+        load_keras_hybrid_h5,
+    )
+
+    lstm_f = 4 if equal_dense_widths else 6
+    model = HybridUNetLSTM(
+        n_classes=3, filters=(4, 8), factors=(2, 2), lstm_features=lstm_f,
+        convs_per_block=1,
+    )
+    ux = jnp.zeros((1, 16, 16, 3))
+    lx = jnp.zeros((1, 3, 8, 8, 2))
+    params, stats = _random_variables(model, ux, lx)
+
+    path = str(tmp_path / "hybrid.h5")
+    export_keras_hybrid_h5(params, stats, path)
+    fresh = model.init(jax.random.key(1), ux, lx)
+    got_p, got_s = load_keras_hybrid_h5(
+        path, fresh["params"], fresh["batch_stats"]
+    )
+    _assert_trees_close(got_p, params)
+    _assert_trees_equal(got_s, stats)
+
+
+def test_lstm_export_rejects_wrong_tree(tmp_path):
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_hybrid_h5,
+        export_keras_lstm_autoencoder_h5,
+        export_keras_lstm_h5,
+    )
+
+    model = UNet(n_classes=1, filters=(4, 8), factors=(2, 2), head="sigmoid")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    for fn, pat in (
+        (export_keras_lstm_h5, "LSTMModel"),
+        (export_keras_lstm_autoencoder_h5, "LSTMAutoencoder"),
+        (export_keras_hybrid_h5, "HybridUNetLSTM"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            fn(variables["params"], variables["batch_stats"],
+               str(tmp_path / "x.h5"))
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_lstm_load_weights_exact_forward_parity(tmp_path):
+    """tf.keras get_lstm_model `load_weights` an exported LSTMModel .h5
+    and must reproduce this framework's forward outputs."""
+    import tensorflow as tf  # noqa: F401
+
+    from test_keras_import_lstm import (
+        C_IN,
+        F,
+        T,
+        _legacy_hard_sigmoid_keras,
+        build_ref_lstm_tf,
+    )
+
+    from satellite_computervision_tpu.models.convlstm import LSTMModel
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_lstm_h5,
+    )
+
+    model = LSTMModel(n_classes=1, features=F)
+    g = np.random.default_rng(17)
+    x = (g.normal(size=(2, T, 8, 8, C_IN)) * 0.5).astype(np.float32)
+    params, stats = _random_variables(model, jnp.asarray(x))
+    want = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+
+    path = str(tmp_path / "lstm_export.h5")
+    export_keras_lstm_h5(params, stats, path)
+    m = build_ref_lstm_tf(_legacy_hard_sigmoid_keras())
+    m.load_weights(path)
+    got = m.predict(x, verbose=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
+def test_tf_lstm_ae_load_weights_exact_forward_parity(tmp_path):
+    """tf.keras get_lstm_autoencoder `load_weights` an exported
+    LSTMAutoencoder .h5 (TimeDistributed temporal head included) and must
+    reproduce this framework's two head outputs."""
+    import tensorflow as tf  # noqa: F401
+
+    from test_keras_import_lstm import (
+        C_IN,
+        F,
+        T,
+        _legacy_hard_sigmoid_keras,
+        build_ref_lstm_ae_tf,
+    )
+
+    from satellite_computervision_tpu.models.convlstm import LSTMAutoencoder
+    from satellite_computervision_tpu.train.keras_export import (
+        export_keras_lstm_autoencoder_h5,
+    )
+
+    model = LSTMAutoencoder(n_classes=1, n_time=T, features=F)
+    g = np.random.default_rng(19)
+    x = (g.normal(size=(2, T, 8, 8, C_IN)) * 0.5).astype(np.float32)
+    sincos = (g.normal(size=(2, 8, 8, 2)) * 0.5).astype(np.float32)
+    params, stats = _random_variables(model, jnp.asarray(x), jnp.asarray(sincos))
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(sincos),
+    )
+
+    path = str(tmp_path / "lstm_ae_export.h5")
+    export_keras_lstm_autoencoder_h5(params, stats, path)
+    m = build_ref_lstm_ae_tf(_legacy_hard_sigmoid_keras())
+    m.load_weights(path)
+    got_temporal, got_single = m.predict([x, sincos], verbose=0)
+    np.testing.assert_allclose(
+        got_temporal, np.asarray(out["temporal"]), rtol=1e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        got_single, np.asarray(out["single"]), rtol=1e-4, atol=2e-4
+    )
+
+
 @pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
 def test_tf_siamese_load_weights_exact_forward_parity(tmp_path):
     """Hand-back for change detection: a reference-architecture tf.keras

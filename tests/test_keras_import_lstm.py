@@ -286,32 +286,73 @@ def _randomize_keras(m, seed=7):
             v.assign((g.normal(size=shape) * 0.2).astype(np.float32))
 
 
+def build_ref_lstm_tf(hs):
+    """get_lstm_model (utils/model_tools.py:773-808) in tf.keras — shared
+    with test_keras_export for the hand-back direction. ``hs`` is the
+    recurrent activation (legacy hard_sigmoid or the string)."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    from tensorflow.keras import layers, models
+
+    # Keras 3 ConvLSTM requires static spatial dims
+    inp = layers.Input((T, 8, 8, C_IN))
+    y = layers.ConvLSTM2D(F, (3, 3), padding="same", activation=None,
+                          recurrent_activation=hs, return_sequences=True,
+                          name="conv_lstm")(inp)
+    y = layers.BatchNormalization(name="batch_norm")(y)
+    y = layers.Activation("relu")(y)
+    y = layers.ConvLSTM2D(F, (3, 3), dilation_rate=(3, 3), padding="same",
+                          activation=None, recurrent_activation=hs,
+                          return_sequences=False, name="dilated_conv_lstm")(y)
+    y = layers.BatchNormalization(name="batch_norm2")(y)
+    y = layers.Activation("relu")(y)
+    y = layers.Conv2D(1, (1, 1), padding="same")(y)
+    out = layers.ReLU(max_value=2.0)(y)
+    return models.Model(inputs=inp, outputs=out)
+
+
+def build_ref_lstm_ae_tf(hs):
+    """get_lstm_autoencoder (utils/model_tools.py:810-872) in tf.keras —
+    shared with test_keras_export for the hand-back direction."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from tensorflow.keras import layers, models
+
+    lstm_in = layers.Input((T, 8, 8, C_IN), name="timeseries_input")
+    sincos_in = layers.Input((8, 8, 2), name="sincos_input")
+
+    seq, state_h, state_c = layers.ConvLSTM2D(
+        F, (3, 3), padding="same", activation=None, recurrent_activation=hs,
+        return_sequences=True, return_state=True, name="conv_lstm")(lstm_in)
+    y = layers.BatchNormalization(name="batch_norm")(seq)
+    y = layers.Activation("relu")(y)
+    y = layers.ConvLSTM2D(F, (3, 3), dilation_rate=(3, 3), padding="same",
+                          activation=None, recurrent_activation=hs,
+                          return_sequences=False, name="dilated_conv_lstm")(y)
+    y = layers.BatchNormalization(name="batch_norm2")(y)
+    encoded = layers.Activation("relu")(state_h + y)
+
+    repeated = keras.ops.repeat(keras.ops.expand_dims(encoded, axis=1), T, axis=1)
+    decoded = layers.ConvLSTM2D(32, (3, 3), padding="same", activation=None,
+                                recurrent_activation=hs, return_sequences=True,
+                                name="lstm_decoder")(repeated)
+    temporal_dense = layers.Conv2D(1, (1, 1), padding="same", name="temporal_dense")
+    temporal = layers.TimeDistributed(temporal_dense)(decoded)
+    temporal = layers.ReLU(max_value=2.0)(temporal)
+
+    concat = layers.Concatenate(axis=-1, name="concat")([encoded, sincos_in])
+    single = layers.Conv2D(1, (1, 1), padding="same", name="single_dense")(concat)
+    single = layers.ReLU(max_value=2.0)(single)
+    return models.Model(inputs=[lstm_in, sincos_in], outputs=[temporal, single])
+
+
 @pytest.mark.skipif(not RUN_TF, reason="set SCV_TF_PARITY=1 to run TF parity tests")
 def test_tf_lstm_exact_forward_parity(tmp_path, rng):
     """get_lstm_model (utils/model_tools.py:773-808) built in tf.keras,
     saved, imported; forward outputs must match — covering the dilated
     second ConvLSTM and the capped-ReLU head."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    import tensorflow as tf
-    from tensorflow.keras import layers, models
+    import tensorflow as tf  # noqa: F401
 
-    def build(hs):
-        # Keras 3 ConvLSTM requires static spatial dims
-        inp = layers.Input((T, 8, 8, C_IN))
-        y = layers.ConvLSTM2D(F, (3, 3), padding="same", activation=None,
-                              recurrent_activation=hs, return_sequences=True,
-                              name="conv_lstm")(inp)
-        y = layers.BatchNormalization(name="batch_norm")(y)
-        y = layers.Activation("relu")(y)
-        y = layers.ConvLSTM2D(F, (3, 3), dilation_rate=(3, 3), padding="same",
-                              activation=None, recurrent_activation=hs,
-                              return_sequences=False, name="dilated_conv_lstm")(y)
-        y = layers.BatchNormalization(name="batch_norm2")(y)
-        y = layers.Activation("relu")(y)
-        y = layers.Conv2D(1, (1, 1), padding="same")(y)
-        out = layers.ReLU(max_value=2.0)(y)
-        return models.Model(inputs=inp, outputs=out)
-
+    build = build_ref_lstm_tf
     m = build(_legacy_hard_sigmoid_keras())
     _randomize_keras(m)
 
@@ -332,40 +373,9 @@ def test_tf_lstm_exact_forward_parity(tmp_path, rng):
 def test_tf_lstm_autoencoder_exact_forward_parity(tmp_path, rng):
     """get_lstm_autoencoder (utils/model_tools.py:810-872) in tf.keras:
     residual state_h encoder, repeated-state ConvLSTM decoder, two heads."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-    import tensorflow as tf
-    from tensorflow.keras import layers, models
+    import tensorflow as tf  # noqa: F401
 
-    import keras
-
-    def build(hs):
-        lstm_in = layers.Input((T, 8, 8, C_IN), name="timeseries_input")
-        sincos_in = layers.Input((8, 8, 2), name="sincos_input")
-
-        seq, state_h, state_c = layers.ConvLSTM2D(
-            F, (3, 3), padding="same", activation=None, recurrent_activation=hs,
-            return_sequences=True, return_state=True, name="conv_lstm")(lstm_in)
-        y = layers.BatchNormalization(name="batch_norm")(seq)
-        y = layers.Activation("relu")(y)
-        y = layers.ConvLSTM2D(F, (3, 3), dilation_rate=(3, 3), padding="same",
-                              activation=None, recurrent_activation=hs,
-                              return_sequences=False, name="dilated_conv_lstm")(y)
-        y = layers.BatchNormalization(name="batch_norm2")(y)
-        encoded = layers.Activation("relu")(state_h + y)
-
-        repeated = keras.ops.repeat(keras.ops.expand_dims(encoded, axis=1), T, axis=1)
-        decoded = layers.ConvLSTM2D(32, (3, 3), padding="same", activation=None,
-                                    recurrent_activation=hs, return_sequences=True,
-                                    name="lstm_decoder")(repeated)
-        temporal_dense = layers.Conv2D(1, (1, 1), padding="same", name="temporal_dense")
-        temporal = layers.TimeDistributed(temporal_dense)(decoded)
-        temporal = layers.ReLU(max_value=2.0)(temporal)
-
-        concat = layers.Concatenate(axis=-1, name="concat")([encoded, sincos_in])
-        single = layers.Conv2D(1, (1, 1), padding="same", name="single_dense")(concat)
-        single = layers.ReLU(max_value=2.0)(single)
-        return models.Model(inputs=[lstm_in, sincos_in], outputs=[temporal, single])
-
+    build = build_ref_lstm_ae_tf
     m = build(_legacy_hard_sigmoid_keras())
     _randomize_keras(m)
 
